@@ -1,0 +1,299 @@
+"""Classic (Clawpack 4.x) sweep kernels — pure-XLA reference backend.
+
+TPU-native equivalents of the reference Fortran kernels (SURVEY.md §2.2):
+
+  step1      <- src/pyclaw/classic/step1.f90      (:~1-160)
+  step2      <- src/pyclaw/classic/step2.f90      (:~1-250) + flux2.f90
+  step2ds    <- src/pyclaw/classic/step2ds.f90    (:~1-200)
+  step3/3ds  <- src/pyclaw/classic/step3*.f90     + flux3.f90
+  limiter    <- src/pyclaw/classic/limiter.f90    (via pyclaw_tpu.limiters.tvd)
+
+Instead of per-interface Fortran loops with rp callbacks, every kernel calls
+the Riemann solver ONCE on whole interface arrays and assembles the update
+with shifted slices — XLA fuses {rp, limiter, correction, update} into a
+single elementwise program over the grid (all VPU work).  The fused Pallas
+versions live in pyclaw_tpu.ops; results must agree to roundoff (the
+dual-backend oracle, SURVEY.md §4).
+
+Index conventions (1D sweep over the last axis, length n = mx + 2*g):
+  interface k in [0, n-2] separates cells k and k+1;
+  cell i update uses apdq at its left interface (k=i-1) and amdq at its
+  right interface (k=i).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..limiters import tvd
+
+
+def _dtdx_arr(dt, dxi, capa, n, dtype):
+    """dt/(dx*kappa) per cell along the sweep axis (broadcastable)."""
+    if capa is None:
+        return jnp.full((n,), dt / dxi, dtype=dtype)
+    return dt / (dxi * capa)
+
+
+def _correction_flux(wave_lim, s, dtdxave, fwave):
+    """Second-order correction flux at each interface:
+    cqxx = sum_p 0.5 |s^p| (1 - |s^p| dt/dx) W~^p    (wave form)
+    cqxx = sum_p 0.5 sign(s^p) (1 - |s^p| dt/dx) Z~^p (f-wave form)."""
+    abss = jnp.abs(s)
+    if fwave:
+        coef = 0.5 * jnp.sign(s) * (1.0 - abss * dtdxave)
+    else:
+        coef = 0.5 * abss * (1.0 - abss * dtdxave)
+    return jnp.einsum("w...,ew...->e...", coef, wave_lim)
+
+
+def step1(q, aux, dt, dx, rp, params, mthlim, order, fwave, index_capa,
+          num_ghost, ixy=0):
+    """1D classic sweep along the LAST axis of ghost-padded arrays.
+
+    q: (num_eqn, ..., n) with n = mx + 2*num_ghost (ghosts filled).  Any
+    intermediate axes (pencil batches for 2D/3D dimensional splitting)
+    broadcast through.  Returns (q with last axis reduced to interior mx,
+    cfl scalar over interior interfaces).
+    """
+    g = num_ghost
+    n = q.shape[-1]
+    num_eqn = q.shape[0]
+
+    q_l, q_r = q[..., :-1], q[..., 1:]
+    if aux is not None:
+        aux_l, aux_r = aux[..., :-1], aux[..., 1:]
+    else:
+        aux_l = aux_r = None
+
+    wave, s, amdq, apdq = rp(ixy, q_l, q_r, aux_l, aux_r, params)
+
+    capa = aux[index_capa] if index_capa >= 0 else None
+    dtdx = _dtdx_arr(dt, dx, capa, n, q.dtype)
+
+    # CFL over interfaces that touch interior cells
+    s_int = s[..., g - 1:n - g]
+    dtdx_r = dtdx[..., g:n - g + 1]
+    dtdx_l = dtdx[..., g - 1:n - g]
+    cfl = jnp.max(jnp.maximum(s_int * dtdx_r, -s_int * dtdx_l))
+
+    # first-order fluctuation update for cells 1..n-2
+    dq1 = apdq[..., :-1] + amdq[..., 1:]
+    q_new = q[..., 1:-1] - dtdx[..., 1:-1] * dq1
+
+    if order == 2:
+        wave_lim = tvd.limit(num_eqn, wave, s, mthlim)
+        dtdxave = 0.5 * (dtdx[..., :-1] + dtdx[..., 1:])
+        cqxx = _correction_flux(wave_lim, s, dtdxave, fwave)
+        q_new = q_new - dtdx[..., 1:-1] * (cqxx[..., 1:] - cqxx[..., :-1])
+
+    # q_new covers cells 1..n-2; interior cells are g..n-1-g
+    return q_new[..., g - 1:n - 1 - g], cfl
+
+
+def step1_dir(q, aux, dt, dxi, ixy, rp, params, mthlim, order, fwave,
+              index_capa, num_ghost):
+    """Dimensionally-split single-direction sweep (step2ds.f90 /
+    step3ds.f90 equivalent): apply the 1D sweep along spatial axis `ixy`
+    of a fully ghost-padded N-D array, then strip the ghost bands of ALL
+    axes.  Returns (q_interior, cfl)."""
+    g = num_ghost
+    axis = 1 + ixy
+    num_dim = q.ndim - 1
+
+    qm = jnp.moveaxis(q, axis, -1)
+    auxm = None if aux is None else jnp.moveaxis(aux, axis, -1)
+    q_new, cfl = step1(qm, auxm, dt, dxi, rp, params, mthlim, order, fwave,
+                       index_capa, g, ixy=ixy)
+    q_new = jnp.moveaxis(q_new, -1, axis)
+    # strip ghosts on the other axes
+    sl = [slice(None)] * q_new.ndim
+    for d in range(num_dim):
+        if d != ixy:
+            sl[1 + d] = slice(g, q_new.shape[1 + d] - g)
+    return q_new[tuple(sl)], cfl
+
+
+# ======================================================================
+# 2D unsplit (step2 + flux2 with corner-transport-upwind transverse terms)
+# ======================================================================
+def _sweep_normal(q, aux, ixy, rp, params, mthlim, order, fwave, dtdx_cells):
+    """Normal Riemann sweep along axis `ixy` of a 2D/3D ghost-padded array.
+
+    Computes fluctuations and the limited second-order correction flux at
+    every interface along that axis.  Arrays are full-grid; the interface
+    axis has length n-1 relative to the cell axis.
+
+    Returns (wave, s, amdq, apdq, cqxx, dtdxave) where cqxx is None for
+    order 1.  All shaped with the interface axis in place of the cell axis.
+    """
+    axis = 1 + ixy
+
+    def lo(a):
+        sl = [slice(None)] * a.ndim
+        sl[axis] = slice(0, a.shape[axis] - 1)
+        return a[tuple(sl)]
+
+    def hi(a):
+        sl = [slice(None)] * a.ndim
+        sl[axis] = slice(1, a.shape[axis])
+        return a[tuple(sl)]
+
+    q_l, q_r = lo(q), hi(q)
+    aux_l = aux_r = None
+    if aux is not None:
+        aux_l, aux_r = lo(aux), hi(aux)
+
+    wave, s, amdq, apdq = rp(ixy, q_l, q_r, aux_l, aux_r, params)
+
+    cqxx = None
+    dtdxave = None
+    if order == 2:
+        num_eqn = q.shape[0]
+        # limiter compares along the interface axis: move it last
+        if axis != q.ndim - 1:
+            wave_m = jnp.moveaxis(wave, 1 + axis, -1)
+            s_m = jnp.moveaxis(s, axis, -1)
+            wave_lim = tvd.limit(num_eqn, wave_m, s_m, mthlim)
+            wave_lim = jnp.moveaxis(wave_lim, -1, 1 + axis)
+        else:
+            wave_lim = tvd.limit(num_eqn, wave, s, mthlim)
+        dtdxave = 0.5 * (lo(dtdx_cells[None])[0] + hi(dtdx_cells[None])[0])
+        cqxx = _correction_flux(wave_lim, s, dtdxave, fwave)
+    return wave, s, amdq, apdq, cqxx, dtdxave
+
+
+def _shift_cells(a, axis, k):
+    """out[..., i, ...] = a[..., i+k, ...] via jnp.roll (callers only use
+    the valid interior; ghost bands absorb the wrap)."""
+    return jnp.roll(a, -k, axis=axis)
+
+
+def step2(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order, fwave,
+          index_capa, num_ghost, transverse_waves=2):
+    """2D unsplit classic step (step2.f90 + flux2.f90 equivalent).
+
+    q: (num_eqn, nx, ny) ghost-padded.  Two-pass structure (SURVEY.md §7
+    "hard parts"): normal fluctuations and correction fluxes are
+    materialized as full-grid arrays, then the transverse pass scatters
+    corner-transport corrections into the orthogonal flux arrays with
+    shifted adds.  Returns (q_interior, cfl).
+    """
+    g = num_ghost
+    num_eqn, nx, ny = q.shape
+
+    capa = aux[index_capa] if index_capa >= 0 else None
+    if capa is None:
+        dtdx = jnp.full((nx, ny), dt / dx, dtype=q.dtype)
+        dtdy = jnp.full((nx, ny), dt / dy, dtype=q.dtype)
+    else:
+        dtdx = dt / (dx * capa)
+        dtdy = dt / (dy * capa)
+
+    # ---- x-direction normal sweep (interfaces along axis 1) ----------
+    wx, sx, amdqx, apdqx, cqxx, _ = _sweep_normal(
+        q, aux, 0, rp, params, mthlim, order, fwave, dtdx)
+    # ---- y-direction normal sweep (interfaces along axis 2) ----------
+    wy, sy, amdqy, apdqy, cqyy, _ = _sweep_normal(
+        q, aux, 1, rp, params, mthlim, order, fwave, dtdy)
+
+    # CFL (interfaces touching interior)
+    cflx = jnp.max(jnp.maximum(
+        sx[:, g - 1:nx - g, g:ny - g] * dtdx[None, g:nx - g + 1, g:ny - g],
+        -sx[:, g - 1:nx - g, g:ny - g] * dtdx[None, g - 1:nx - g, g:ny - g]))
+    cfly = jnp.max(jnp.maximum(
+        sy[:, g:nx - g, g - 1:ny - g] * dtdy[None, g:nx - g, g:ny - g + 1],
+        -sy[:, g:nx - g, g - 1:ny - g] * dtdy[None, g:nx - g, g - 1:ny - g]))
+    cfl = jnp.maximum(cflx, cfly)
+
+    # ---- second-order correction fluxes ------------------------------
+    # F~ at x-interfaces (num_eqn, nx-1, ny); G~ at y-interfaces
+    Fx = cqxx if cqxx is not None else jnp.zeros_like(amdqx)
+    Gy = cqyy if cqyy is not None else jnp.zeros_like(amdqy)
+
+    # ---- transverse pass (corner transport upwind) -------------------
+    if rpt is not None and transverse_waves > 0:
+        # x-interface states for the transverse solves
+        def lo(a, axis):
+            sl = [slice(None)] * a.ndim
+            sl[axis] = slice(0, a.shape[axis] - 1)
+            return a[tuple(sl)]
+
+        def hi(a, axis):
+            sl = [slice(None)] * a.ndim
+            sl[axis] = slice(1, a.shape[axis])
+            return a[tuple(sl)]
+
+        qx_l, qx_r = lo(q, 1), hi(q, 1)
+        auxx_l = auxx_r = None
+        if aux is not None:
+            auxx_l, auxx_r = lo(aux, 1), hi(aux, 1)
+
+        # Split A-ΔQ and A+ΔQ into up/down-going parts.
+        bm_am, bp_am = rpt(0, 1, qx_l, qx_r, auxx_l, auxx_r, amdqx, params)
+        bm_ap, bp_ap = rpt(0, 2, qx_l, qx_r, auxx_l, auxx_r, apdqx, params)
+
+        # G~_{i-1, j-1/2} -= dt/(2 dx) B-A-ΔQ_{i-1/2,j}
+        # G~_{i-1, j+1/2} -= dt/(2 dx) B+A-ΔQ_{i-1/2,j}
+        # G~_{i,   j-1/2} -= dt/(2 dx) B-A+ΔQ_{i-1/2,j}
+        # G~_{i,   j+1/2} -= dt/(2 dx) B+A+ΔQ_{i-1/2,j}
+        # Gy has shape (num_eqn, nx, ny-1): entry (i, jint) = G~_{i, jint+1/2}.
+        # x-interface k (0..nx-2) lies between cells k (i-1 role) and k+1 (i).
+        half_dtdx = 0.5 * (dt / dx)
+        # contribution arrays indexed by x-interface k and cell j:
+        # map to Gy[i, jint]:  jint = j-1 ("below") or j ("above").
+        def scatter_transverse(G, bm, bp, k_to_cell_offset):
+            # bm, bp: (num_eqn, nx-1, ny) at (x-interface k, cell j)
+            # target cell i = k + k_to_cell_offset (0 for left cell, 1 right)
+            # below: G[i, j-1] -= c*bm  -> shift j by -1 on the G side
+            # above: G[i, j]   -= c*bp
+            num_e, nxm1, nyc = bm.shape
+            contrib = jnp.zeros_like(G)  # (num_eqn, nx, ny-1)
+            i0 = k_to_cell_offset
+            # below-going: G[:, i, j-1] for j in [1, ny-1] -> Gy index j-1
+            contrib = contrib.at[:, i0:i0 + nxm1, :].add(
+                -half_dtdx * bm[:, :, 1:])
+            # above-going: G[:, i, j] for j in [0, ny-2]
+            contrib = contrib.at[:, i0:i0 + nxm1, :].add(
+                -half_dtdx * bp[:, :, :-1])
+            return contrib
+
+        Gy = Gy + scatter_transverse(Gy, bm_am, bp_am, 0)
+        Gy = Gy + scatter_transverse(Gy, bm_ap, bp_ap, 1)
+
+        # y-sweep transverse: split B±ΔQ into left/right-going, modify F~
+        qy_l, qy_r = lo(q, 2), hi(q, 2)
+        auxy_l = auxy_r = None
+        if aux is not None:
+            auxy_l, auxy_r = lo(aux, 2), hi(aux, 2)
+        am_bm, ap_bm = rpt(1, 1, qy_l, qy_r, auxy_l, auxy_r, amdqy, params)
+        am_bp, ap_bp = rpt(1, 2, qy_l, qy_r, auxy_l, auxy_r, apdqy, params)
+
+        half_dtdy = 0.5 * (dt / dy)
+
+        def scatter_transverse_y(F, am, ap, k_to_cell_offset):
+            num_e, nxc, nym1 = am.shape
+            contrib = jnp.zeros_like(F)  # (num_eqn, nx-1, ny)
+            j0 = k_to_cell_offset
+            contrib = contrib.at[:, :, j0:j0 + nym1].add(
+                -half_dtdy * am[:, 1:, :])
+            contrib = contrib.at[:, :, j0:j0 + nym1].add(
+                -half_dtdy * ap[:, :-1, :])
+            return contrib
+
+        Fx = Fx + scatter_transverse_y(Fx, am_bm, ap_bm, 0)
+        Fx = Fx + scatter_transverse_y(Fx, am_bp, ap_bp, 1)
+
+    # ---- assemble update ---------------------------------------------
+    # cells 1..nx-2 (x) and 1..ny-2 (y)
+    qc = q[:, 1:-1, 1:-1]
+    dtdx_c = dtdx[1:-1, 1:-1]
+    dtdy_c = dtdy[1:-1, 1:-1]
+
+    dq = (apdqx[:, :-1, 1:-1] + amdqx[:, 1:, 1:-1]) * dtdx_c \
+        + (apdqy[:, 1:-1, :-1] + amdqy[:, 1:-1, 1:]) * dtdy_c \
+        + (Fx[:, 1:, 1:-1] - Fx[:, :-1, 1:-1]) * dtdx_c \
+        + (Gy[:, 1:-1, 1:] - Gy[:, 1:-1, :-1]) * dtdy_c
+    q_new = qc - dq
+
+    return q_new[:, g - 1:nx - 1 - g, g - 1:ny - 1 - g], cfl

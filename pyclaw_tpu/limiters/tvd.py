@@ -1,0 +1,96 @@
+"""TVD wave limiters.
+
+Rebuild of reference ``src/pyclaw/limiters/tvd.py — limit()`` (:~1-600) and
+the Fortran ``src/pyclaw/classic/limiter.f90 / philim`` (:~1-120; SURVEY.md
+§2.2/§2.4), as pure jnp.  The limiter ratio for wave p at interface I is the
+upwind-side projection
+
+    theta = <W_upwind, W_I> / <W_I, W_I>,   upwind = I-1 if s>0 else I+1
+
+and the wave is scaled by phi(theta).  Limiter ids match the reference table
+(tvd.py docstring / philim.f90):
+
+    0 none (Lax-Wendroff)   1 minmod        2 superbee   3 van Leer
+    4 MC                    5 Beam-Warming  6 Fromm      7 van Albada 2
+    8 van Albada 3          9 van Leer w/ Klein sharpening (k=2)
+
+CFL-dependent ids (10+) of the reference are not yet ported; requesting one
+raises.  All phi are branch-free (jnp.where / min / max) so they vectorize
+on the VPU.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+minmod = 1
+superbee = 2
+vanleer = 3  # reference name: van_leer
+MC = 4
+beam_warming = 5
+fromm = 6
+
+
+def _phi(limiter_id, theta):
+    t = theta
+    if limiter_id == 0:
+        return jnp.ones_like(t)
+    if limiter_id == 1:    # minmod
+        return jnp.maximum(0.0, jnp.minimum(1.0, t))
+    if limiter_id == 2:    # superbee
+        return jnp.maximum(0.0, jnp.maximum(jnp.minimum(1.0, 2.0 * t),
+                                            jnp.minimum(2.0, t)))
+    if limiter_id == 3:    # van Leer
+        return (t + jnp.abs(t)) / (1.0 + jnp.abs(t))
+    if limiter_id == 4:    # MC (monotonized centered)
+        return jnp.maximum(0.0, jnp.minimum((1.0 + t) / 2.0,
+                                            jnp.minimum(2.0, 2.0 * t)))
+    if limiter_id == 5:    # Beam-Warming
+        return t
+    if limiter_id == 6:    # Fromm
+        return 0.5 * (1.0 + t)
+    if limiter_id == 7:    # van Albada 2
+        return jnp.maximum(0.0, (t * t + t) / (t * t + 1.0))
+    if limiter_id == 8:    # van Albada 3
+        return jnp.maximum(0.0, 2.0 * t / (t * t + 1.0))
+    if limiter_id == 9:    # van Leer with Klein sharpening, k=2
+        a = jnp.abs(t)
+        phi_vl = (t + a) / (1.0 + a)
+        # sharpened variant: phi = max(0, min(2, 2t, vl-sharp)); keep the
+        # standard Klein form (reference tvd.py :~):
+        return jnp.maximum(phi_vl, jnp.minimum(1.0, 2.0 * jnp.maximum(0.0, t)))
+    raise NotImplementedError(f"limiter id {limiter_id} not ported yet "
+                              "(CFL-dependent limiters land in a later round)")
+
+
+def limit(num_eqn, wave, s, limiter_ids, dtdx=None):
+    """Apply per-wave limiters.
+
+    wave: (num_eqn, num_waves, *n)  — waves at every interface
+    s:    (num_waves, *n)           — speeds
+    limiter_ids: length-num_waves list of ints (0 = no limiting)
+    dtdx: reserved for CFL-dependent limiters.
+
+    Returns the limited waves, same shape.  Interfaces at the array ends
+    keep their unlimited waves (their upwind neighbor is unavailable);
+    callers arrange ghost interfaces so those never touch interior updates.
+    """
+    num_waves = wave.shape[1]
+    wnorm2 = jnp.sum(wave * wave, axis=0)                     # (nw, *n)
+    # upwind-side projections along the interface axis (last axis)
+    dot_left = jnp.sum(wave * jnp.roll(wave, 1, axis=-1), axis=0)
+    dot_right = jnp.sum(wave * jnp.roll(wave, -1, axis=-1), axis=0)
+    dotu = jnp.where(s > 0.0, dot_left, dot_right)
+    safe = wnorm2 > 0.0
+    theta = jnp.where(safe, dotu / jnp.where(safe, wnorm2, 1.0), 0.0)
+
+    out = []
+    for p in range(num_waves):
+        lid = limiter_ids[p] if p < len(limiter_ids) else limiter_ids[-1]
+        if lid == 0:
+            out.append(wave[:, p])
+        else:
+            phi = _phi(int(lid), theta[p])
+            phi = jnp.where(safe[p], phi, 1.0)
+            out.append(wave[:, p] * phi[None])
+    return jnp.stack(out, axis=1)

@@ -1,0 +1,67 @@
+"""Riemann solver library.
+
+TPU-native rebuild of the reference's sibling package ``clawpack.riemann``
+(SURVEY.md §2.8).  Where the reference compiles one f2py module per Fortran
+``rp*.f90`` and passes ``._cpointer`` function pointers into the sweep
+kernels, here every solver is a **pure jnp function** operating on whole
+interface arrays, registered in a :class:`RiemannSolver` record that also
+carries the ``num_eqn`` / ``num_waves`` metadata (the reference keeps that
+in a static table in ``riemann/__init__.py``).
+
+Calling conventions (the core ABI — reference SURVEY.md §2.8):
+
+  normal:      rp(ixy, q_l, q_r, aux_l, aux_r, params)
+                 -> wave (num_eqn, num_waves, *n), s (num_waves, *n),
+                    amdq (num_eqn, *n), apdq (num_eqn, *n)
+  transverse:  rpt(ixy, imp, q_l, q_r, aux_l, aux_r, asdq, params)
+                 -> bmasdq, bpasdq        (each (num_eqn, *n))
+  double-transverse (3D): rptt(ixy, icoor, imp, impt, q_l, q_r, aux_l,
+                 aux_r, bsasdq, params) -> cmbsasdq, cpbsasdq
+
+``ixy`` is a *static* Python int (0=x, 1=y, 2=z sweep).  ``params`` is the
+problem_data dict of physics scalars (closed over by jit — the analog of the
+reference's Fortran ``cparam`` common block).  All arithmetic broadcasts
+over arbitrary trailing spatial axes so the same function serves 1D pencils
+and full 2D/3D arrays.
+"""
+
+from __future__ import annotations
+
+
+class RiemannSolver:
+    """Metadata record for one Riemann solver (reference: the per-module
+    attributes attached in riemann/__init__.py + static table)."""
+
+    def __init__(self, name, num_dim, num_eqn, num_waves, rp,
+                 rpt=None, rptt=None, requires=()):
+        self.name = name
+        self.num_dim = num_dim
+        self.num_eqn = num_eqn
+        self.num_waves = num_waves
+        self.rp = rp          # normal solver
+        self.rpt = rpt        # transverse solver (2D/3D)
+        self.rptt = rptt      # double-transverse solver (3D)
+        self.requires = tuple(requires)  # required problem_data keys
+
+    def __repr__(self):
+        return (f"RiemannSolver({self.name}, num_eqn={self.num_eqn}, "
+                f"num_waves={self.num_waves})")
+
+
+from .advection import (advection_1D, advection_2D, advection_3D,  # noqa: E402,F401
+                        vc_advection_1D)
+from .acoustics import acoustics_1D, acoustics_2D, acoustics_3D  # noqa: E402,F401
+from .burgers import burgers_1D  # noqa: E402,F401
+from .euler import (euler_with_efix_1D, euler_roe_1D, euler_hlle_1D,  # noqa: E402,F401
+                    euler_4wave_2D, euler_5wave_2D, euler_3D)
+from .shallow import (shallow_roe_with_efix_1D, shallow_hlle_1D,  # noqa: E402,F401
+                      shallow_roe_with_efix_2D)
+
+ALL = {s.name: s for s in [
+    advection_1D, advection_2D, advection_3D, vc_advection_1D,
+    acoustics_1D, acoustics_2D, acoustics_3D,
+    burgers_1D,
+    euler_with_efix_1D, euler_roe_1D, euler_hlle_1D, euler_4wave_2D,
+    euler_5wave_2D, euler_3D,
+    shallow_roe_with_efix_1D, shallow_hlle_1D, shallow_roe_with_efix_2D,
+]}

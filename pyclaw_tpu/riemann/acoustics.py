@@ -1,0 +1,93 @@
+"""Linear acoustics Riemann solvers (1D/2D/3D).
+
+Physics parity with reference ``riemann/src/rp1_acoustics.f90`` (:~1-60),
+``rpn2_acoustics.f90`` + ``rpt2_acoustics.f90`` (:~1-80/:~1-70) and the
+vectorized Python spec ``riemann/riemann/acoustics_1D_py.py`` (SURVEY.md
+§2.8).  System: p_t + K div(u) = 0, rho u_t + grad p = 0 with impedance
+Z = sqrt(rho*K) and sound speed c = sqrt(K/rho) from problem_data
+{'rho', 'bulk'} (or precomputed {'zz','cc'}).
+
+q layout: 1D (p, u); 2D (p, u, v); 3D (p, u, v, w).  num_waves = 2
+(the +-c acoustic waves; shear carries nothing in linear acoustics).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+
+def _zc(params):
+    if "zz" in params:
+        return params["zz"], params["cc"]
+    rho, bulk = params["rho"], params["bulk"]
+    return math.sqrt(rho * bulk), math.sqrt(bulk / rho)
+
+
+def _rp_acoustics(ixy, q_l, q_r, aux_l, aux_r, params):
+    zz, cc = _zc(params)
+    num_eqn = q_l.shape[0]
+    mu = 1 + ixy                     # normal-velocity component
+    dq = q_r - q_l
+    a1 = (-dq[0] + zz * dq[mu]) / (2.0 * zz)    # left-going strength
+    a2 = (dq[0] + zz * dq[mu]) / (2.0 * zz)     # right-going strength
+
+    wave = jnp.zeros((num_eqn, 2) + dq.shape[1:], dtype=q_l.dtype)
+    wave = wave.at[0, 0].set(-a1 * zz)
+    wave = wave.at[mu, 0].set(a1)
+    wave = wave.at[0, 1].set(a2 * zz)
+    wave = wave.at[mu, 1].set(a2)
+
+    shape = dq.shape[1:]
+    s = jnp.stack([jnp.full(shape, -cc, dq.dtype),
+                   jnp.full(shape, cc, dq.dtype)])
+    amdq = -cc * wave[:, 0]
+    apdq = cc * wave[:, 1]
+    return wave, s, amdq, apdq
+
+
+def _rpt_acoustics(ixy, imp, q_l, q_r, aux_l, aux_r, asdq, params):
+    """Split the fluctuation asdq into transverse-going parts
+    (reference rpt2_acoustics.f90)."""
+    zz, cc = _zc(params)
+    mv = 2 - ixy if asdq.shape[0] == 3 else None   # 2D transverse component
+    if mv is None:
+        raise ValueError("rpt2 acoustics expects 3-component q")
+    a1 = (-asdq[0] + zz * asdq[mv]) / (2.0 * zz)   # down-going
+    a2 = (asdq[0] + zz * asdq[mv]) / (2.0 * zz)    # up-going
+
+    bmasdq = jnp.zeros_like(asdq)
+    bmasdq = bmasdq.at[0].set(cc * a1 * zz)        # -c * (-Z a1)
+    bmasdq = bmasdq.at[mv].set(-cc * a1)
+    bpasdq = jnp.zeros_like(asdq)
+    bpasdq = bpasdq.at[0].set(cc * a2 * zz)
+    bpasdq = bpasdq.at[mv].set(cc * a2)
+    return bmasdq, bpasdq
+
+
+def _rpt3_acoustics(ixy, imp, q_l, q_r, aux_l, aux_r, asdq, params,
+                    trans_axis=None):
+    """3D transverse split along `trans_axis` (defaults to the next axis)."""
+    zz, cc = _zc(params)
+    if trans_axis is None:
+        trans_axis = (ixy + 1) % 3
+    mv = 1 + trans_axis
+    a1 = (-asdq[0] + zz * asdq[mv]) / (2.0 * zz)
+    a2 = (asdq[0] + zz * asdq[mv]) / (2.0 * zz)
+    bmasdq = jnp.zeros_like(asdq)
+    bmasdq = bmasdq.at[0].set(cc * a1 * zz)
+    bmasdq = bmasdq.at[mv].set(-cc * a1)
+    bpasdq = jnp.zeros_like(asdq)
+    bpasdq = bpasdq.at[0].set(cc * a2 * zz)
+    bpasdq = bpasdq.at[mv].set(cc * a2)
+    return bmasdq, bpasdq
+
+
+from . import RiemannSolver  # noqa: E402
+
+acoustics_1D = RiemannSolver("acoustics_1D", 1, 2, 2, _rp_acoustics)
+acoustics_2D = RiemannSolver("acoustics_2D", 2, 3, 2, _rp_acoustics,
+                             rpt=_rpt_acoustics)
+acoustics_3D = RiemannSolver("acoustics_3D", 3, 4, 2, _rp_acoustics,
+                             rpt=_rpt3_acoustics)

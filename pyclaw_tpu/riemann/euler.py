@@ -1,0 +1,420 @@
+"""Euler-equation Riemann solvers.
+
+Physics parity with reference ``riemann/src/rp1_euler_with_efix.f90``
+(:~1-140, Roe + Harten entropy fix), ``rpn2_euler_4wave.f90`` /
+``rpn2_euler_5wave.f90`` / ``rpt2_euler.f90`` (:~1-120/130), and
+``rpn3_euler.f90`` + ``rpt3_euler.f90`` + ``rptt3_euler.f90`` (SURVEY.md
+§2.8), cross-checked against the vectorized Python spec
+``riemann/riemann/euler_1D_py.py``.  Ideal gas, gamma from problem_data.
+
+All branches (entropy fix transonic tests, HLLE wave-speed selection) are
+rewritten as jnp.where so the solvers are branch-free on the VPU.
+
+q layouts:  1D (rho, rho*u, E);  2D (rho, rho*u, rho*v, E);
+            3D (rho, rho*u, rho*v, rho*w, E);  5wave adds a tracer row.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _roe_averages(q_l, q_r, gamma, vel_idx, e_idx=None):
+    """Roe-averaged velocities (one per entry of vel_idx), enthalpy, sound
+    speed.  Returns (vels, H, a, a2, (p_l, p_r))."""
+    rho_l, rho_r = q_l[0], q_r[0]
+    srl, srr = jnp.sqrt(rho_l), jnp.sqrt(rho_r)
+    w = 1.0 / (srl + srr)
+    vels = [(q_l[i] / rho_l * srl + q_r[i] / rho_r * srr) * w for i in vel_idx]
+    E_idx = (1 + len(vel_idx)) if e_idx is None else e_idx
+    ke_l = 0.5 * sum(q_l[i] ** 2 for i in vel_idx) / rho_l
+    ke_r = 0.5 * sum(q_r[i] ** 2 for i in vel_idx) / rho_r
+    p_l = (gamma - 1.0) * (q_l[E_idx] - ke_l)
+    p_r = (gamma - 1.0) * (q_r[E_idx] - ke_r)
+    H_l = (q_l[E_idx] + p_l) / rho_l
+    H_r = (q_r[E_idx] + p_r) / rho_r
+    H = (srl * H_l + srr * H_r) * w
+    ke = 0.5 * sum(v * v for v in vels)
+    a2 = (gamma - 1.0) * (H - ke)
+    a = jnp.sqrt(a2)
+    return vels, H, a, a2, (p_l, p_r)
+
+
+# ======================================================================
+# 1D Roe solver with Harten entropy fix (rp1_euler_with_efix.f90)
+# ======================================================================
+def _rp1_euler_roe(ixy, q_l, q_r, aux_l, aux_r, params, efix=True):
+    gamma = params["gamma"]
+    g1 = gamma - 1.0
+    (u,), H, a, a2, _ = _roe_averages(q_l, q_r, gamma, (1,))
+
+    d = q_r - q_l
+    a2_coef = g1 / a2 * ((H - u * u) * d[0] + u * d[1] - d[2])
+    a3_coef = (d[1] + (a - u) * d[0] - a * a2_coef) / (2.0 * a)
+    a1_coef = d[0] - a2_coef - a3_coef
+
+    w1 = jnp.stack([a1_coef, a1_coef * (u - a), a1_coef * (H - u * a)])
+    w2 = jnp.stack([a2_coef, a2_coef * u, a2_coef * 0.5 * u * u])
+    w3 = jnp.stack([a3_coef, a3_coef * (u + a), a3_coef * (H + u * a)])
+    wave = jnp.stack([w1, w2, w3], axis=1)
+    s = jnp.stack([u - a, u, u + a])
+
+    if not efix:
+        sneg = jnp.minimum(s, 0.0)
+        spos = jnp.maximum(s, 0.0)
+        amdq = jnp.einsum("w...,ew...->e...", sneg, wave)
+        apdq = jnp.einsum("w...,ew...->e...", spos, wave)
+        return wave, s, amdq, apdq
+
+    # Harten entropy fix: transonic 1- and 3-rarefactions get a split speed.
+    def sound(state):
+        rho, mom, E = state
+        p = g1 * (E - 0.5 * mom * mom / rho)
+        return mom / rho, jnp.sqrt(jnp.maximum(gamma * p / rho, 1e-300))
+
+    u_l, c_l = sound((q_l[0], q_l[1], q_l[2]))
+    u_r, c_r = sound((q_r[0], q_r[1], q_r[2]))
+
+    # state just right of the 1-wave
+    qm1 = q_l + w1
+    u_m1, c_m1 = sound((qm1[0], qm1[1], qm1[2]))
+    lam1_l = u_l - c_l
+    lam1_m = u_m1 - c_m1
+    trans1 = (lam1_l < 0.0) & (lam1_m > 0.0)
+    sfract1 = jnp.where(
+        trans1,
+        lam1_l * (lam1_m - s[0]) / jnp.where(lam1_m - lam1_l == 0.0, 1.0,
+                                             lam1_m - lam1_l),
+        jnp.minimum(s[0], 0.0))
+
+    sfract2 = jnp.minimum(s[1], 0.0)
+
+    # state just left of the 3-wave
+    qm3 = q_r - w3
+    u_m3, c_m3 = sound((qm3[0], qm3[1], qm3[2]))
+    lam3_m = u_m3 + c_m3
+    lam3_r = u_r + c_r
+    trans3 = (lam3_m < 0.0) & (lam3_r > 0.0)
+    sfract3 = jnp.where(
+        trans3,
+        lam3_m * (lam3_r - s[2]) / jnp.where(lam3_r - lam3_m == 0.0, 1.0,
+                                             lam3_r - lam3_m),
+        jnp.minimum(s[2], 0.0))
+
+    amdq = sfract1 * w1 + sfract2 * w2 + sfract3 * w3
+    # conservation: amdq + apdq = f(q_r) - f(q_l) = sum_p s_p W_p (Roe)
+    df = jnp.einsum("w...,ew...->e...", s, wave)
+    apdq = df - amdq
+    return wave, s, amdq, apdq
+
+
+def _rp1_euler_with_efix(ixy, q_l, q_r, aux_l, aux_r, params):
+    return _rp1_euler_roe(ixy, q_l, q_r, aux_l, aux_r, params, efix=True)
+
+
+def _rp1_euler_roe_nofix(ixy, q_l, q_r, aux_l, aux_r, params):
+    return _rp1_euler_roe(ixy, q_l, q_r, aux_l, aux_r, params, efix=False)
+
+
+# ======================================================================
+# 1D HLLE (euler_1D_py.py — euler_hll_1D spec)
+# ======================================================================
+def _rp1_euler_hlle(ixy, q_l, q_r, aux_l, aux_r, params):
+    gamma = params["gamma"]
+    g1 = gamma - 1.0
+    (u,), H, a, a2, _ = _roe_averages(q_l, q_r, gamma, (1,))
+    u_l = q_l[1] / q_l[0]
+    u_r = q_r[1] / q_r[0]
+    p_l = g1 * (q_l[2] - 0.5 * q_l[1] ** 2 / q_l[0])
+    p_r = g1 * (q_r[2] - 0.5 * q_r[1] ** 2 / q_r[0])
+    c_l = jnp.sqrt(gamma * p_l / q_l[0])
+    c_r = jnp.sqrt(gamma * p_r / q_r[0])
+
+    s1 = jnp.minimum(u - a, u_l - c_l)
+    s2 = jnp.maximum(u + a, u_r + c_r)
+
+    f_l = jnp.stack([q_l[1], q_l[1] * u_l + p_l, u_l * (q_l[2] + p_l)])
+    f_r = jnp.stack([q_r[1], q_r[1] * u_r + p_r, u_r * (q_r[2] + p_r)])
+    denom = jnp.where(s2 - s1 == 0.0, 1.0, s2 - s1)
+    q_m = (f_r - f_l - (s2 * q_r - s1 * q_l)) / -denom
+
+    wave = jnp.stack([q_m - q_l, q_r - q_m], axis=1)
+    s = jnp.stack([s1, s2])
+    sneg = jnp.minimum(s, 0.0)
+    spos = jnp.maximum(s, 0.0)
+    amdq = jnp.einsum("w...,ew...->e...", sneg, wave)
+    apdq = jnp.einsum("w...,ew...->e...", spos, wave)
+    return wave, s, amdq, apdq
+
+
+# ======================================================================
+# 2D 4-wave Roe solver (rpn2_euler_4wave.f90)
+# ======================================================================
+def _rpn2_euler(ixy, q_l, q_r, aux_l, aux_r, params, tracer=False):
+    gamma = params["gamma"]
+    g1 = gamma - 1.0
+    mu = 1 + ixy          # normal momentum component
+    mv = 2 - ixy          # transverse momentum component
+    E = 3
+
+    (u, v), H, a, a2, _ = _roe_averages(q_l, q_r, gamma, (mu, mv))
+
+    d = q_r - q_l
+    d0, dmu, dmv, dE = d[0], d[mu], d[mv], d[E]
+
+    euv = H - (u * u + v * v)
+    a3 = g1 / a2 * (euv * d0 + u * dmu + v * dmv - dE)
+    a2w = dmv - v * d0                 # shear strength
+    a4 = (dmu + (a - u) * d0 - a * a3) / (2.0 * a)
+    a1 = d0 - a3 - a4
+
+    num_eqn = q_l.shape[0]
+    sp = d.shape[1:]
+    z = jnp.zeros(sp, d.dtype)
+
+    def mk(rho_c, mu_c, mv_c, e_c):
+        comp = [z] * num_eqn
+        comp[0] = rho_c
+        comp[mu] = mu_c
+        comp[mv] = mv_c
+        comp[E] = e_c
+        return jnp.stack(comp)
+
+    w1 = mk(a1, a1 * (u - a), a1 * v, a1 * (H - u * a))
+    w2 = mk(a3, a3 * u, a3 * v, a3 * 0.5 * (u * u + v * v))
+    w3 = mk(z, z, a2w, a2w * v)
+    w4 = mk(a4, a4 * (u + a), a4 * v, a4 * (H + u * a))
+    waves = [w1, w2, w3, w4]
+    speeds = [u - a, u, u, u + a]
+
+    if tracer:
+        # 5th equation: passive tracer advected with the flow; it rides the
+        # entropy wave (rpn2_euler_5wave.f90).
+        T = 4
+        dT = d[T]
+        wt = jnp.zeros((num_eqn,) + sp, d.dtype).at[T].set(dT)
+        waves.append(wt)
+        speeds.append(u)
+
+    wave = jnp.stack(waves, axis=1)
+    s = jnp.stack(speeds)
+    sneg = jnp.minimum(s, 0.0)
+    spos = jnp.maximum(s, 0.0)
+    amdq = jnp.einsum("w...,ew...->e...", sneg, wave)
+    apdq = jnp.einsum("w...,ew...->e...", spos, wave)
+    return wave, s, amdq, apdq
+
+
+def _rpn2_euler_4wave(ixy, q_l, q_r, aux_l, aux_r, params):
+    return _rpn2_euler(ixy, q_l, q_r, aux_l, aux_r, params, tracer=False)
+
+
+def _rpn2_euler_5wave(ixy, q_l, q_r, aux_l, aux_r, params):
+    return _rpn2_euler(ixy, q_l, q_r, aux_l, aux_r, params, tracer=True)
+
+
+def _rpt2_euler(ixy, imp, q_l, q_r, aux_l, aux_r, asdq, params):
+    """Transverse Roe solve (rpt2_euler.f90): split asdq into up/down-going
+    parts using the eigenstructure of the transverse-direction Jacobian at
+    the Roe average of (q_l, q_r)."""
+    gamma = params["gamma"]
+    g1 = gamma - 1.0
+    mu = 1 + ixy          # normal component of the ORIGINAL sweep
+    mv = 2 - ixy          # transverse component (the direction of this split)
+    E = 3
+
+    (u, v), H, a, a2, _ = _roe_averages(q_l, q_r, gamma, (mu, mv))
+    # In the transverse direction the roles swap: propagation speed is v.
+    d0, dmu, dmv, dE = asdq[0], asdq[mu], asdq[mv], asdq[E]
+
+    euv = H - (u * u + v * v)
+    b3 = g1 / a2 * (euv * d0 + u * dmu + v * dmv - dE)
+    b2w = dmu - u * d0                 # shear in the transverse solve
+    b4 = (dmv + (a - v) * d0 - a * b3) / (2.0 * a)
+    b1 = d0 - b3 - b4
+
+    num_eqn = q_l.shape[0]
+    sp = d0.shape
+    z = jnp.zeros(sp, asdq.dtype)
+
+    def mk(rho_c, mu_c, mv_c, e_c):
+        comp = [z] * num_eqn
+        comp[0] = rho_c
+        comp[mu] = mu_c
+        comp[mv] = mv_c
+        comp[E] = e_c
+        return jnp.stack(comp)
+
+    w1 = mk(b1, b1 * u, b1 * (v - a), b1 * (H - v * a))
+    w2 = mk(b3, b3 * u, b3 * v, b3 * 0.5 * (u * u + v * v))
+    w3 = mk(z, b2w, z, b2w * u)
+    w4 = mk(b4, b4 * u, b4 * (v + a), b4 * (H + v * a))
+    speeds = [v - a, v, v, v + a]
+
+    bmasdq = jnp.zeros_like(asdq)
+    bpasdq = jnp.zeros_like(asdq)
+    for w, sp_ in zip((w1, w2, w3, w4), speeds):
+        bmasdq = bmasdq + jnp.minimum(sp_, 0.0) * w
+        bpasdq = bpasdq + jnp.maximum(sp_, 0.0) * w
+
+    if num_eqn == 5:
+        # tracer rides the transverse flow
+        bmasdq = bmasdq.at[4].add(jnp.minimum(v, 0.0) * asdq[4])
+        bpasdq = bpasdq.at[4].add(jnp.maximum(v, 0.0) * asdq[4])
+    return bmasdq, bpasdq
+
+
+# ======================================================================
+# 3D Roe solver (rpn3_euler.f90) + transverse (rpt3/rptt3)
+# ======================================================================
+def _rpn3_euler(ixy, q_l, q_r, aux_l, aux_r, params):
+    gamma = params["gamma"]
+    g1 = gamma - 1.0
+    # component permutation per sweep direction
+    mu = 1 + ixy
+    mv = 1 + (ixy + 1) % 3
+    mw = 1 + (ixy + 2) % 3
+    E = 4
+
+    (u, v, w_), H, a, a2, _ = _roe_averages(q_l, q_r, gamma, (mu, mv, mw))
+
+    d = q_r - q_l
+    d0, dmu, dmv, dmw, dE = d[0], d[mu], d[mv], d[mw], d[E]
+
+    euv = H - (u * u + v * v + w_ * w_)
+    a3 = g1 / a2 * (euv * d0 + u * dmu + v * dmv + w_ * dmw - dE)
+    ash = dmv - v * d0                 # shear (v)
+    ash2 = dmw - w_ * d0               # shear (w)
+    a5 = (dmu + (a - u) * d0 - a * a3) / (2.0 * a)
+    a1 = d0 - a3 - a5
+
+    num_eqn = q_l.shape[0]
+    sp = d0.shape
+    z = jnp.zeros(sp, d.dtype)
+
+    def mk(rho_c, mu_c, mv_c, mw_c, e_c):
+        comp = [z] * num_eqn
+        comp[0] = rho_c
+        comp[mu] = mu_c
+        comp[mv] = mv_c
+        comp[mw] = mw_c
+        comp[E] = e_c
+        return jnp.stack(comp)
+
+    w1 = mk(a1, a1 * (u - a), a1 * v, a1 * w_, a1 * (H - u * a))
+    w2 = mk(a3, a3 * u, a3 * v, a3 * w_,
+            a3 * 0.5 * (u * u + v * v + w_ * w_))
+    w3 = mk(z, z, ash, z, ash * v)
+    w4 = mk(z, z, z, ash2, ash2 * w_)
+    w5 = mk(a5, a5 * (u + a), a5 * v, a5 * w_, a5 * (H + u * a))
+
+    # Group the two shear waves with the entropy wave (3 distinct speeds);
+    # reference rpn3 keeps 3 waves [uncertain]; we keep 5 explicit waves for
+    # limiter granularity.
+    wave = jnp.stack([w1, w2, w3, w4, w5], axis=1)
+    s = jnp.stack([u - a, u, u, u, u + a])
+    sneg = jnp.minimum(s, 0.0)
+    spos = jnp.maximum(s, 0.0)
+    amdq = jnp.einsum("w...,ew...->e...", sneg, wave)
+    apdq = jnp.einsum("w...,ew...->e...", spos, wave)
+    return wave, s, amdq, apdq
+
+
+def _split_transverse_euler(vel_comp, q_l, q_r, aux_l, aux_r, asdq, params,
+                            normal_comp):
+    """Generic transverse split for 3D Euler in direction `vel_comp`
+    (1=u,2=v,3=w momentum row): Roe-average eigen-decomposition of asdq in
+    that direction."""
+    gamma = params["gamma"]
+    g1 = gamma - 1.0
+    E = 4
+    vel_idx = (1, 2, 3)
+    (u1, u2, u3), H, a, a2, _ = _roe_averages(q_l, q_r, gamma, vel_idx)
+    vels = {1: u1, 2: u2, 3: u3}
+    vt = vels[vel_comp]                 # propagation speed direction
+    ke = 0.5 * (u1 * u1 + u2 * u2 + u3 * u3)
+
+    d0 = asdq[0]
+    dE = asdq[E]
+    dm = {i: asdq[i] for i in vel_idx}
+
+    euv = H - 2.0 * ke
+    b3 = g1 / a2 * (euv * d0 + u1 * dm[1] + u2 * dm[2] + u3 * dm[3] - dE)
+    b5 = (dm[vel_comp] + (a - vt) * d0 - a * b3) / (2.0 * a)
+    b1 = d0 - b3 - b5
+    shear_comps = [i for i in vel_idx if i != vel_comp]
+    bsh = {i: dm[i] - vels[i] * d0 for i in shear_comps}
+
+    num_eqn = q_l.shape[0]
+    z = jnp.zeros(d0.shape, asdq.dtype)
+
+    def mk(rho_c, mom, e_c):
+        comp = [z] * num_eqn
+        comp[0] = rho_c
+        for i in vel_idx:
+            comp[i] = mom[i]
+        comp[E] = e_c
+        return jnp.stack(comp)
+
+    # acoustic down
+    mom1 = {i: b1 * vels[i] for i in vel_idx}
+    mom1[vel_comp] = b1 * (vt - a)
+    w1 = mk(b1, mom1, b1 * (H - vt * a))
+    # entropy
+    mom2 = {i: b3 * vels[i] for i in vel_idx}
+    w2 = mk(b3, mom2, b3 * ke)
+    # shears
+    shear_waves = []
+    for i in shear_comps:
+        momS = {j: z for j in vel_idx}
+        momS[i] = bsh[i]
+        shear_waves.append(mk(z, momS, bsh[i] * vels[i]))
+    # acoustic up
+    mom5 = {i: b5 * vels[i] for i in vel_idx}
+    mom5[vel_comp] = b5 * (vt + a)
+    w5 = mk(b5, mom5, b5 * (H + vt * a))
+
+    waves = [w1, w2] + shear_waves + [w5]
+    speeds = [vt - a, vt, vt, vt, vt + a]
+
+    bm = jnp.zeros_like(asdq)
+    bp = jnp.zeros_like(asdq)
+    for w, sp_ in zip(waves, speeds):
+        bm = bm + jnp.minimum(sp_, 0.0) * w
+        bp = bp + jnp.maximum(sp_, 0.0) * w
+    return bm, bp
+
+
+def _rpt3_euler(ixy, imp, q_l, q_r, aux_l, aux_r, asdq, params,
+                trans_axis=None):
+    if trans_axis is None:
+        trans_axis = (ixy + 1) % 3
+    return _split_transverse_euler(1 + trans_axis, q_l, q_r, aux_l, aux_r,
+                                   asdq, params, 1 + ixy)
+
+
+def _rptt3_euler(ixy, icoor, imp, impt, q_l, q_r, aux_l, aux_r, bsasdq,
+                 params, trans_axis=None):
+    if trans_axis is None:
+        trans_axis = (ixy + 2) % 3
+    return _split_transverse_euler(1 + trans_axis, q_l, q_r, aux_l, aux_r,
+                                   bsasdq, params, 1 + ixy)
+
+
+from . import RiemannSolver  # noqa: E402
+
+euler_with_efix_1D = RiemannSolver("euler_with_efix_1D", 1, 3, 3,
+                                   _rp1_euler_with_efix, requires=("gamma",))
+euler_roe_1D = RiemannSolver("euler_roe_1D", 1, 3, 3,
+                             _rp1_euler_roe_nofix, requires=("gamma",))
+euler_hlle_1D = RiemannSolver("euler_hlle_1D", 1, 3, 2,
+                              _rp1_euler_hlle, requires=("gamma",))
+euler_4wave_2D = RiemannSolver("euler_4wave_2D", 2, 4, 4,
+                               _rpn2_euler_4wave, rpt=_rpt2_euler,
+                               requires=("gamma",))
+euler_5wave_2D = RiemannSolver("euler_5wave_2D", 2, 5, 5,
+                               _rpn2_euler_5wave, rpt=_rpt2_euler,
+                               requires=("gamma",))
+euler_3D = RiemannSolver("euler_3D", 3, 5, 5, _rpn3_euler,
+                         rpt=_rpt3_euler, rptt=_rptt3_euler,
+                         requires=("gamma",))

@@ -1,0 +1,228 @@
+"""Shallow-water Riemann solvers.
+
+Physics parity with reference ``riemann/src/rp1_shallow_roe_with_efix.f90``
+(:~1-100), ``rpn2_shallow_roe_with_efix.f90`` + ``rpt2_shallow_roe_with_
+efix.f90`` (:~1-130/110), and ``riemann/riemann/shallow_1D_py.py``
+(SURVEY.md §2.8).  System (1D): h_t + (hu)_x = 0,
+(hu)_t + (hu^2 + g h^2/2)_x = 0, with g = problem_data['grav'].
+
+Roe averages:  u_hat = (sqrt(h_l) u_l + sqrt(h_r) u_r)/(sqrt(h_l)+sqrt(h_r)),
+c_hat = sqrt(g (h_l+h_r)/2).  Harten entropy fix on both acoustic waves.
+2D adds the shear wave (speed u_hat) and the transverse splitter.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _rp1_shallow_roe(ixy, q_l, q_r, aux_l, aux_r, params, efix=True):
+    g = params["grav"]
+    h_l, h_r = q_l[0], q_r[0]
+    hu_l, hu_r = q_l[1], q_r[1]
+    u_l, u_r = hu_l / h_l, hu_r / h_r
+
+    sh_l, sh_r = jnp.sqrt(h_l), jnp.sqrt(h_r)
+    u = (sh_l * u_l + sh_r * u_r) / (sh_l + sh_r)
+    c = jnp.sqrt(g * 0.5 * (h_l + h_r))
+
+    d = q_r - q_l
+    a1 = 0.5 * ((u + c) * d[0] - d[1]) / c
+    a2 = 0.5 * (-(u - c) * d[0] + d[1]) / c
+
+    w1 = jnp.stack([a1, a1 * (u - c)])
+    w2 = jnp.stack([a2, a2 * (u + c)])
+    wave = jnp.stack([w1, w2], axis=1)
+    s = jnp.stack([u - c, u + c])
+
+    if not efix:
+        amdq = jnp.minimum(s[0], 0.0) * w1 + jnp.minimum(s[1], 0.0) * w2
+        apdq = jnp.maximum(s[0], 0.0) * w1 + jnp.maximum(s[1], 0.0) * w2
+        return wave, s, amdq, apdq
+
+    # Harten entropy fix (transonic rarefactions)
+    c_l = jnp.sqrt(g * h_l)
+    c_r = jnp.sqrt(g * h_r)
+    # state between the waves
+    hm = h_l + a1
+    hum = hu_l + a1 * (u - c)
+    um = hum / jnp.where(hm <= 0.0, 1.0, hm)
+    cm = jnp.sqrt(g * jnp.maximum(hm, 0.0))
+
+    lam1_l = u_l - c_l
+    lam1_m = um - cm
+    trans1 = (lam1_l < 0.0) & (lam1_m > 0.0)
+    den1 = jnp.where(lam1_m - lam1_l == 0.0, 1.0, lam1_m - lam1_l)
+    sf1 = jnp.where(trans1, lam1_l * (lam1_m - s[0]) / den1,
+                    jnp.minimum(s[0], 0.0))
+
+    lam2_m = um + cm
+    lam2_r = u_r + c_r
+    trans2 = (lam2_m < 0.0) & (lam2_r > 0.0)
+    den2 = jnp.where(lam2_r - lam2_m == 0.0, 1.0, lam2_r - lam2_m)
+    sf2 = jnp.where(trans2, lam2_m * (lam2_r - s[1]) / den2,
+                    jnp.minimum(s[1], 0.0))
+
+    amdq = sf1 * w1 + sf2 * w2
+    df = s[0] * w1 + s[1] * w2
+    apdq = df - amdq
+    return wave, s, amdq, apdq
+
+
+def _rp1_shallow_with_efix(ixy, q_l, q_r, aux_l, aux_r, params):
+    return _rp1_shallow_roe(ixy, q_l, q_r, aux_l, aux_r, params, efix=True)
+
+
+def _rp1_shallow_hlle(ixy, q_l, q_r, aux_l, aux_r, params):
+    g = params["grav"]
+    h_l, h_r = q_l[0], q_r[0]
+    u_l, u_r = q_l[1] / h_l, q_r[1] / h_r
+    c_l = jnp.sqrt(g * h_l)
+    c_r = jnp.sqrt(g * h_r)
+    sh_l, sh_r = jnp.sqrt(h_l), jnp.sqrt(h_r)
+    u = (sh_l * u_l + sh_r * u_r) / (sh_l + sh_r)
+    c = jnp.sqrt(g * 0.5 * (h_l + h_r))
+
+    s1 = jnp.minimum(u - c, u_l - c_l)
+    s2 = jnp.maximum(u + c, u_r + c_r)
+    f_l = jnp.stack([q_l[1], h_l * u_l * u_l + 0.5 * g * h_l * h_l])
+    f_r = jnp.stack([q_r[1], h_r * u_r * u_r + 0.5 * g * h_r * h_r])
+    denom = jnp.where(s2 - s1 == 0.0, 1.0, s2 - s1)
+    q_m = (s2 * q_r - s1 * q_l - (f_r - f_l)) / denom
+
+    wave = jnp.stack([q_m - q_l, q_r - q_m], axis=1)
+    s = jnp.stack([s1, s2])
+    amdq = jnp.minimum(s1, 0.0) * wave[:, 0] + jnp.minimum(s2, 0.0) * wave[:, 1]
+    apdq = jnp.maximum(s1, 0.0) * wave[:, 0] + jnp.maximum(s2, 0.0) * wave[:, 1]
+    return wave, s, amdq, apdq
+
+
+# ======================================================================
+# 2D Roe solver with shear wave + entropy fix
+# ======================================================================
+def _rpn2_shallow_roe(ixy, q_l, q_r, aux_l, aux_r, params):
+    g = params["grav"]
+    mu = 1 + ixy
+    mv = 2 - ixy
+    h_l, h_r = q_l[0], q_r[0]
+    u_l, u_r = q_l[mu] / h_l, q_r[mu] / h_r
+    v_l, v_r = q_l[mv] / h_l, q_r[mv] / h_r
+
+    sh_l, sh_r = jnp.sqrt(h_l), jnp.sqrt(h_r)
+    wgt = 1.0 / (sh_l + sh_r)
+    u = (sh_l * u_l + sh_r * u_r) * wgt
+    v = (sh_l * v_l + sh_r * v_r) * wgt
+    c = jnp.sqrt(g * 0.5 * (h_l + h_r))
+
+    d0 = q_r[0] - q_l[0]
+    dmu = q_r[mu] - q_l[mu]
+    dmv = q_r[mv] - q_l[mv]
+
+    a1 = 0.5 * ((u + c) * d0 - dmu) / c
+    a2 = dmv - v * d0                      # shear strength
+    a3 = 0.5 * (-(u - c) * d0 + dmu) / c
+
+    num_eqn = q_l.shape[0]
+    z = jnp.zeros(d0.shape, q_l.dtype)
+
+    def mk(h_c, mu_c, mv_c):
+        comp = [z] * num_eqn
+        comp[0] = h_c
+        comp[mu] = mu_c
+        comp[mv] = mv_c
+        return jnp.stack(comp)
+
+    w1 = mk(a1, a1 * (u - c), a1 * v)
+    w2 = mk(z, z, a2)
+    w3 = mk(a3, a3 * (u + c), a3 * v)
+    wave = jnp.stack([w1, w2, w3], axis=1)
+    s = jnp.stack([u - c, u, u + c])
+
+    # entropy fix on waves 1 and 3
+    c_l = jnp.sqrt(g * h_l)
+    c_r = jnp.sqrt(g * h_r)
+    hm = h_l + a1
+    hum = q_l[mu] + a1 * (u - c)
+    um = hum / jnp.where(hm <= 0.0, 1.0, hm)
+    cm = jnp.sqrt(g * jnp.maximum(hm, 0.0))
+
+    lam1_l = u_l - c_l
+    lam1_m = um - cm
+    trans1 = (lam1_l < 0.0) & (lam1_m > 0.0)
+    den1 = jnp.where(lam1_m - lam1_l == 0.0, 1.0, lam1_m - lam1_l)
+    sf1 = jnp.where(trans1, lam1_l * (lam1_m - s[0]) / den1,
+                    jnp.minimum(s[0], 0.0))
+
+    sf2 = jnp.minimum(s[1], 0.0)
+
+    hm3 = h_r - a3
+    hum3 = q_r[mu] - a3 * (u + c)
+    um3 = hum3 / jnp.where(hm3 <= 0.0, 1.0, hm3)
+    cm3 = jnp.sqrt(g * jnp.maximum(hm3, 0.0))
+    lam3_m = um3 + cm3
+    lam3_r = u_r + c_r
+    trans3 = (lam3_m < 0.0) & (lam3_r > 0.0)
+    den3 = jnp.where(lam3_r - lam3_m == 0.0, 1.0, lam3_r - lam3_m)
+    sf3 = jnp.where(trans3, lam3_m * (lam3_r - s[2]) / den3,
+                    jnp.minimum(s[2], 0.0))
+
+    amdq = sf1 * w1 + sf2 * w2 + sf3 * w3
+    df = s[0] * w1 + s[1] * w2 + s[2] * w3
+    apdq = df - amdq
+    return wave, s, amdq, apdq
+
+
+def _rpt2_shallow_roe(ixy, imp, q_l, q_r, aux_l, aux_r, asdq, params):
+    """Transverse split (rpt2_shallow_roe_with_efix.f90): eigen-decompose
+    asdq in the transverse direction at the Roe average."""
+    g = params["grav"]
+    mu = 1 + ixy
+    mv = 2 - ixy
+    h_l, h_r = q_l[0], q_r[0]
+    u_l, u_r = q_l[mu] / h_l, q_r[mu] / h_r
+    v_l, v_r = q_l[mv] / h_l, q_r[mv] / h_r
+    sh_l, sh_r = jnp.sqrt(h_l), jnp.sqrt(h_r)
+    wgt = 1.0 / (sh_l + sh_r)
+    u = (sh_l * u_l + sh_r * u_r) * wgt
+    v = (sh_l * v_l + sh_r * v_r) * wgt
+    c = jnp.sqrt(g * 0.5 * (h_l + h_r))
+
+    d0, dmu, dmv = asdq[0], asdq[mu], asdq[mv]
+    b1 = 0.5 * ((v + c) * d0 - dmv) / c
+    b2 = dmu - u * d0
+    b3 = 0.5 * (-(v - c) * d0 + dmv) / c
+
+    num_eqn = q_l.shape[0]
+    z = jnp.zeros(d0.shape, asdq.dtype)
+
+    def mk(h_c, mu_c, mv_c):
+        comp = [z] * num_eqn
+        comp[0] = h_c
+        comp[mu] = mu_c
+        comp[mv] = mv_c
+        return jnp.stack(comp)
+
+    w1 = mk(b1, b1 * u, b1 * (v - c))
+    w2 = mk(z, b2, z)
+    w3 = mk(b3, b3 * u, b3 * (v + c))
+    speeds = [v - c, v, v + c]
+
+    bmasdq = jnp.zeros_like(asdq)
+    bpasdq = jnp.zeros_like(asdq)
+    for w, sp in zip((w1, w2, w3), speeds):
+        bmasdq = bmasdq + jnp.minimum(sp, 0.0) * w
+        bpasdq = bpasdq + jnp.maximum(sp, 0.0) * w
+    return bmasdq, bpasdq
+
+
+from . import RiemannSolver  # noqa: E402
+
+shallow_roe_with_efix_1D = RiemannSolver("shallow_roe_with_efix_1D", 1, 2, 2,
+                                         _rp1_shallow_with_efix,
+                                         requires=("grav",))
+shallow_hlle_1D = RiemannSolver("shallow_hlle_1D", 1, 2, 2,
+                                _rp1_shallow_hlle, requires=("grav",))
+shallow_roe_with_efix_2D = RiemannSolver("shallow_roe_with_efix_2D", 2, 3, 3,
+                                         _rpn2_shallow_roe,
+                                         rpt=_rpt2_shallow_roe,
+                                         requires=("grav",))

@@ -1,0 +1,208 @@
+"""Solver base: time stepping, BC policy, CFL accept/reject.
+
+Rebuild of reference ``src/pyclaw/solver.py — class Solver`` (:~1-800;
+SURVEY.md §2.1, call stack §3.1).  Behavioral parity:
+
+  - attrs: dt_initial, dt_variable, dt_max, max_steps, cfl_max/cfl_desired
+    (subclass), num_ghost, per-dim bc_lower/bc_upper + aux variants +
+    user_bc_* callbacks, all_bcs sugar, before_step hook, fwave flag,
+    status dict {cflmax, dtmin, dtmax, numsteps}.
+  - ``evolve_to_time(solution, tend)`` — THE outer time loop: adjust dt to
+    land on tend, snapshot q when dt_variable, call abstract step(), then
+    CFL accept/reject (reject → restore q, dt *= cfl_desired/cfl, retry),
+    advance t, dt = min(dt_max, dt*cfl_desired/cfl); raise after max_steps.
+
+TPU-native differences:
+  - q lives on device (jnp) across the whole evolve loop; the host sees one
+    scalar sync per step (the CFL readback — same cadence as the reference's
+    per-step CFL check, and as PetClaw's MPI allreduce).
+  - "snapshot for rejection" is free: arrays are immutable, we just keep the
+    previous reference (no copy, no donation hazard).
+  - BCs are applied *inside* the jitted step (pyclaw_tpu.bc.extend), not via
+    workspace copies.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+from .cfl import CFL
+
+logger = logging.getLogger("pyclaw.solver")
+
+
+class BC:
+    """Boundary-condition ids (reference solver.py — class BC)."""
+    custom = 0
+    extrap = 1
+    periodic = 2
+    wall = 3
+
+
+class Solver:
+    def __init__(self, riemann_solver=None):
+        self.dt_initial = 0.1
+        self.dt_variable = True
+        self.dt_max = 1e99
+        self.dt = self.dt_initial
+        self.max_steps = 10000
+        self.cfl_max = 1.0
+        self.cfl_desired = 0.9
+        self.num_ghost = 2
+        self.fwave = False
+        self.before_step = None
+        self.rp = riemann_solver
+        self.cfl = CFL()
+        self.status = {"cflmax": 0.0, "dtmin": float("inf"),
+                       "dtmax": 0.0, "numsteps": 0}
+        self.verbosity = 0
+        self.logger = logger
+
+        # per-dimension BC settings; sized at setup from the domain
+        self.bc_lower = []
+        self.bc_upper = []
+        self.aux_bc_lower = []
+        self.aux_bc_upper = []
+        self.user_bc_lower = None
+        self.user_bc_upper = None
+        self.user_aux_bc_lower = None
+        self.user_aux_bc_upper = None
+
+        self._is_set_up = False
+        self._q_dev = None
+        self._aux_dev = None
+
+    # -- all_bcs sugar (reference solver.py — all_bcs property) --------
+    @property
+    def all_bcs(self):
+        return self.bc_lower, self.bc_upper
+
+    @all_bcs.setter
+    def all_bcs(self, bc_kind):
+        n = len(self.bc_lower) or getattr(self, "num_dim", 1)
+        self.bc_lower = [bc_kind] * n
+        self.bc_upper = [bc_kind] * n
+
+    def _size_bc_lists(self, num_dim):
+        for name in ("bc_lower", "bc_upper"):
+            lst = getattr(self, name)
+            if not lst:
+                setattr(self, name, [BC.extrap] * num_dim)
+            elif len(lst) != num_dim:
+                if len(lst) == 1:
+                    setattr(self, name, lst * num_dim)
+                else:
+                    raise ValueError(f"{name} has wrong length")
+        for name in ("aux_bc_lower", "aux_bc_upper"):
+            lst = getattr(self, name)
+            if not lst:
+                setattr(self, name, [BC.extrap] * num_dim)
+            elif len(lst) == 1 and num_dim > 1:
+                setattr(self, name, lst * num_dim)
+        # periodic must be paired (reference validates this)
+        for d in range(num_dim):
+            lo, up = self.bc_lower[d], self.bc_upper[d]
+            if (lo == BC.periodic) != (up == BC.periodic):
+                raise ValueError(
+                    f"dimension {d}: periodic BCs must be set on both sides")
+
+    # ------------------------------------------------------------------
+    def setup(self, solution):
+        """Subclasses build their jitted step function here."""
+        raise NotImplementedError
+
+    def step(self, solution):
+        """One Δt step on device arrays; must set self.cfl local max."""
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    def _push(self, state):
+        self._q_dev = jnp.asarray(state.q)
+        self._aux_dev = None if state.aux is None else jnp.asarray(state.aux)
+
+    def _pull(self, state):
+        state.q = np.asarray(self._q_dev)
+
+    def accept_reject_step(self, cfl):
+        return (not self.dt_variable) or cfl <= self.cfl_max
+
+    def evolve_to_time(self, solution, tend=None):
+        state = solution.states[0]
+        if not self._is_set_up:
+            self.setup(solution)
+
+        take_one_step = tend is None
+        tstart = state.t
+        if not self.dt_variable:
+            if not take_one_step:
+                n = (tend - tstart) / self.dt
+                if abs(n - round(n)) > 1e-6:
+                    raise ValueError(
+                        "With dt_variable=False, tend-tstart must be an "
+                        "integer multiple of dt")
+        max_steps = 1 if (take_one_step and not self.dt_variable) \
+            else self.max_steps
+
+        self._push(state)
+        num_steps = 0
+        while True:
+            num_steps += 1
+            if num_steps > max_steps:
+                raise Exception(
+                    f"Unable to reach tend={tend} within {self.max_steps} "
+                    f"steps (t={state.t}, dt={self.dt})")
+
+            if self.before_step is not None:
+                # hook may mutate host q — round-trip (reference semantics)
+                self._pull(state)
+                self.before_step(self, state)
+                self._push(state)
+
+            saved_q = self._q_dev          # immutable snapshot: free
+            dt_old = self.dt
+            if not take_one_step and state.t + self.dt > tend - 1e-14:
+                self.dt = tend - state.t
+
+            self.step(solution)            # updates _q_dev, cfl cache
+            cfl = self.cfl.get_cached_max()
+
+            if self.accept_reject_step(cfl):
+                state.t += self.dt
+                self.status["numsteps"] += 1
+                self.status["cflmax"] = max(self.status["cflmax"], cfl)
+                self.status["dtmin"] = min(self.status["dtmin"], self.dt)
+                self.status["dtmax"] = max(self.status["dtmax"], self.dt)
+                if self.verbosity >= 3:
+                    logger.info("step %d: t=%g dt=%g cfl=%g",
+                                self.status["numsteps"], state.t, self.dt, cfl)
+                self.write_gauge_values(state)
+            else:
+                self._q_dev = saved_q      # reject: restore
+                self.dt = dt_old
+                if self.verbosity >= 2:
+                    logger.info("rejecting step: cfl=%g > %g", cfl, self.cfl_max)
+
+            if self.dt_variable and cfl > 0.0:
+                self.dt = min(self.dt_max,
+                              self.dt * self.cfl_desired / cfl)
+            if take_one_step:
+                if self.accept_reject_step(cfl):
+                    break
+            elif state.t >= tend - 1e-14:
+                break
+
+        self._pull(state)
+        return self.status
+
+    # -- gauges (reference solver.py — write_gauge_values :~) ----------
+    def write_gauge_values(self, state):
+        grid = state.patch.grid
+        if not grid.gauge_indices:
+            return
+        q = self._q_dev
+        for num, idx in enumerate(grid.gauge_indices):
+            vals = np.asarray(q[(slice(None),) + idx])
+            state.gauge_data.append((num, state.t, vals))
