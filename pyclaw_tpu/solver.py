@@ -127,6 +127,9 @@ class Solver:
         state.q = np.asarray(self._q_dev)
 
     def accept_reject_step(self, cfl):
+        import math
+        if self.dt_variable and not math.isfinite(cfl):
+            return False  # NaN/inf CFL (blown-up trial step): always reject
         return (not self.dt_variable) or cfl <= self.cfl_max
 
     def evolve_to_time(self, solution, tend=None):
@@ -185,9 +188,14 @@ class Solver:
                 if self.verbosity >= 2:
                     logger.info("rejecting step: cfl=%g > %g", cfl, self.cfl_max)
 
-            if self.dt_variable and cfl > 0.0:
-                self.dt = min(self.dt_max,
-                              self.dt * self.cfl_desired / cfl)
+            import math
+            if self.dt_variable:
+                if not math.isfinite(cfl):
+                    # blown-up trial step gives no usable CFL: halve and retry
+                    self.dt = 0.5 * self.dt
+                elif cfl > 0.0:
+                    self.dt = min(self.dt_max,
+                                  self.dt * self.cfl_desired / cfl)
             if take_one_step:
                 if self.accept_reject_step(cfl):
                     break
