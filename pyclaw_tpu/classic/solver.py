@@ -21,7 +21,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .. import bc as bcmod
 from ..config import DEFAULT_BACKEND
 from ..solver import Solver
 from . import kernels
@@ -69,43 +68,12 @@ class ClawSolver(Solver):
         self._size_bc_lists(self.num_dim)
         if self.dt_initial is not None:
             self.dt = self.dt_initial
-        self._step_fn = jax.jit(self._make_hyperbolic_step(state))
+        self._step_fn = self._finalize_step(self._make_hyperbolic_step(state),
+                                            state)
         self._is_set_up = True
 
     def _make_hyperbolic_step(self, state):
         raise NotImplementedError
-
-    def _extend_bc(self, q, aux, t, state):
-        """Ghost-cell extension + custom-BC callbacks (traced)."""
-        g = self.num_ghost
-        qbc = bcmod.extend(q, g, self.bc_lower, self.bc_upper,
-                           wall_reflects=True)
-        auxbc = None
-        if aux is not None:
-            auxbc = bcmod.extend(aux, g, self.aux_bc_lower, self.aux_bc_upper,
-                                 wall_reflects=False)
-            if self.user_aux_bc_lower is not None:
-                for d in range(self.num_dim):
-                    if self.aux_bc_lower[d] == bcmod.BC.custom:
-                        auxbc = self.user_aux_bc_lower(state, d, t, qbc,
-                                                       auxbc, g)
-            if self.user_aux_bc_upper is not None:
-                for d in range(self.num_dim):
-                    if self.aux_bc_upper[d] == bcmod.BC.custom:
-                        auxbc = self.user_aux_bc_upper(state, d, t, qbc,
-                                                       auxbc, g)
-        for d in range(self.num_dim):
-            if self.bc_lower[d] == bcmod.BC.custom:
-                if self.user_bc_lower is None:
-                    raise ValueError("bc_lower is custom but user_bc_lower "
-                                     "is not set")
-                qbc = self.user_bc_lower(state, d, t, qbc, auxbc, g)
-            if self.bc_upper[d] == bcmod.BC.custom:
-                if self.user_bc_upper is None:
-                    raise ValueError("bc_upper is custom but user_bc_upper "
-                                     "is not set")
-                qbc = self.user_bc_upper(state, d, t, qbc, auxbc, g)
-        return qbc, auxbc
 
     # ------------------------------------------------------------------
     def step(self, solution):

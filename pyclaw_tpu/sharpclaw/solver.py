@@ -67,7 +67,7 @@ class SharpClawSolver(Solver):
             self.cfl_desired, self.cfl_max = _CFL_DEFAULTS[self.time_integrator]
         if self.dt_initial is not None:
             self.dt = self.dt_initial
-        self._step_fn = jax.jit(self._make_step(state))
+        self._step_fn = self._finalize_step(self._make_step(state), state)
         self._is_set_up = True
 
     # ------------------------------------------------------------------
@@ -84,11 +84,8 @@ class SharpClawSolver(Solver):
         num_dim = self.num_dim
         dq_src = self.dq_src
 
-        from ..classic.solver import ClawSolver  # reuse _extend_bc impl
-        extend_bc = ClawSolver._extend_bc
-
         def dq(q, aux, dt, t):
-            qbc, auxbc = extend_bc(self, q, aux, t, state)
+            qbc, auxbc = self._extend_bc(q, aux, t, state)
             if num_dim == 1:
                 d, cfl = kernels.dq_1d(qbc, auxbc, dt, deltas[0], rp, params,
                                        lim_type, weno_order, index_capa, g,

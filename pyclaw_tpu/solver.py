@@ -114,6 +114,48 @@ class Solver:
         """Subclasses build their jitted step function here."""
         raise NotImplementedError
 
+    def _extend_bc(self, q, aux, t, state):
+        """Ghost-cell extension + custom-BC callbacks (traced).  The
+        distributed overlay (pyclaw_tpu.parallel) overrides this with the
+        ppermute halo exchange — the reference's get_qbc_from_q /
+        DMDA globalToLocal seam."""
+        from . import bc as bcmod
+        g = self.num_ghost
+        qbc = bcmod.extend(q, g, self.bc_lower, self.bc_upper,
+                           wall_reflects=True)
+        auxbc = None
+        if aux is not None:
+            auxbc = bcmod.extend(aux, g, self.aux_bc_lower, self.aux_bc_upper,
+                                 wall_reflects=False)
+            if self.user_aux_bc_lower is not None:
+                for d in range(self.num_dim):
+                    if self.aux_bc_lower[d] == bcmod.BC.custom:
+                        auxbc = self.user_aux_bc_lower(state, d, t, qbc,
+                                                       auxbc, g)
+            if self.user_aux_bc_upper is not None:
+                for d in range(self.num_dim):
+                    if self.aux_bc_upper[d] == bcmod.BC.custom:
+                        auxbc = self.user_aux_bc_upper(state, d, t, qbc,
+                                                       auxbc, g)
+        for d in range(self.num_dim):
+            if self.bc_lower[d] == bcmod.BC.custom:
+                if self.user_bc_lower is None:
+                    raise ValueError("bc_lower is custom but user_bc_lower "
+                                     "is not set")
+                qbc = self.user_bc_lower(state, d, t, qbc, auxbc, g)
+            if self.bc_upper[d] == bcmod.BC.custom:
+                if self.user_bc_upper is None:
+                    raise ValueError("bc_upper is custom but user_bc_upper "
+                                     "is not set")
+                qbc = self.user_bc_upper(state, d, t, qbc, auxbc, g)
+        return qbc, auxbc
+
+    def _finalize_step(self, step_fn, state):
+        """Compile the traced step function.  The distributed overlay
+        overrides this to wrap step_fn in shard_map + pmax CFL reduction."""
+        import jax
+        return jax.jit(step_fn)
+
     def step(self, solution):
         """One Δt step on device arrays; must set self.cfl local max."""
         raise NotImplementedError

@@ -1,0 +1,113 @@
+"""Decomposition-invariance tests (SURVEY.md §4 carry-over: replaces the
+reference's "mpiexec -n 4" CI runs): the N-device shard_map result must
+equal the serial result to roundoff, for every BC kind that crosses a
+sharded boundary."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+
+import jax  # noqa: E402
+
+import pyclaw_tpu as pyclaw  # noqa: E402
+from pyclaw_tpu import parallel, riemann  # noqa: E402
+
+
+def _run_1d(solver, nx=128, bc=pyclaw.BC.periodic, tfinal=0.2):
+    domain = pyclaw.Domain([0.0], [1.0], [nx])
+    state = pyclaw.State(domain, solver.rp.num_eqn)
+    state.problem_data.update(rho=1.0, bulk=1.0, zz=1.0, cc=1.0, u=1.0)
+    x = domain.grid.x.centers
+    state.q[0, :] = np.exp(-100.0 * (x - 0.5) ** 2)
+    if solver.rp.num_eqn > 1:
+        state.q[1:, :] = 0.0
+    solver.all_bcs = bc
+    claw = pyclaw.Controller()
+    claw.solution = pyclaw.Solution(state, domain)
+    claw.solver = solver
+    claw.tfinal = tfinal
+    claw.num_output_times = 1
+    claw.output_format = None
+    claw.run()
+    return claw.solution.q.copy()
+
+
+@pytest.mark.parametrize("bc", [pyclaw.BC.periodic, pyclaw.BC.extrap,
+                                pyclaw.BC.wall])
+def test_decomposition_invariance_1d(bc):
+    assert len(jax.devices()) == 8
+    q_serial = _run_1d(pyclaw.ClawSolver1D(riemann.acoustics_1D), bc=bc)
+    q_dist = _run_1d(parallel.ClawSolver1D(riemann.acoustics_1D), bc=bc)
+    np.testing.assert_allclose(q_dist, q_serial, atol=1e-13)
+
+
+def test_decomposition_invariance_1d_sharpclaw():
+    q_serial = _run_1d(pyclaw.SharpClawSolver1D(riemann.acoustics_1D))
+    q_dist = _run_1d(parallel.SharpClawSolver1D(riemann.acoustics_1D))
+    np.testing.assert_allclose(q_dist, q_serial, atol=1e-13)
+
+
+def _run_2d(solver, mx=64, my=64, bc=pyclaw.BC.extrap, tfinal=0.1):
+    domain = pyclaw.Domain([-1.0, -1.0], [1.0, 1.0], [mx, my])
+    state = pyclaw.State(domain, solver.rp.num_eqn)
+    state.problem_data.update(rho=1.0, bulk=4.0, zz=2.0, cc=2.0)
+    x, y = domain.grid.c_centers
+    r = np.sqrt(x ** 2 + y ** 2)
+    state.q[0] = np.where(np.abs(r - 0.5) <= 0.2,
+                          1.0 + np.cos(np.pi * (r - 0.5) / 0.2), 0.0)
+    state.q[1] = 0.0
+    state.q[2] = 0.0
+    solver.all_bcs = bc
+    solver.limiters = [4]
+    claw = pyclaw.Controller()
+    claw.solution = pyclaw.Solution(state, domain)
+    claw.solver = solver
+    claw.tfinal = tfinal
+    claw.num_output_times = 1
+    claw.output_format = None
+    claw.run()
+    return claw.solution.q.copy()
+
+
+@pytest.mark.parametrize("bc", [pyclaw.BC.periodic, pyclaw.BC.extrap,
+                                pyclaw.BC.wall])
+def test_decomposition_invariance_2d(bc):
+    """2D classic with CTU transverse terms: corner ghosts must be exact
+    (the BOX-stencil test that catches axis-ordering halo bugs)."""
+    q_serial = _run_2d(pyclaw.ClawSolver2D(riemann.acoustics_2D), bc=bc)
+    q_dist = _run_2d(parallel.ClawSolver2D(riemann.acoustics_2D), bc=bc)
+    np.testing.assert_allclose(q_dist, q_serial, atol=1e-13)
+
+
+def test_decomposition_invariance_2d_sharpclaw():
+    q_serial = _run_2d(pyclaw.SharpClawSolver2D(riemann.acoustics_2D))
+    q_dist = _run_2d(parallel.SharpClawSolver2D(riemann.acoustics_2D))
+    np.testing.assert_allclose(q_dist, q_serial, atol=1e-13)
+
+
+def test_decomposition_invariance_2d_euler():
+    from euler_2d_quadrants import setup
+    results = []
+    for mod in ("serial", "parallel"):
+        claw = setup(mx=64, my=64, solver_type="classic", outdir=None)
+        if mod == "parallel":
+            solver = parallel.ClawSolver2D(riemann.euler_4wave_2D)
+            solver.limiters = claw.solver.limiters
+            solver.all_bcs = pyclaw.BC.extrap
+            claw.solver = solver
+        claw.tfinal = 0.1
+        claw.num_output_times = 1
+        claw.run()
+        results.append(claw.solution.q.copy())
+    np.testing.assert_allclose(results[1], results[0], atol=1e-12)
+
+
+def test_mesh_factorization():
+    m = parallel.make_mesh(2)
+    assert sorted(m.devices.shape, reverse=True) in ([4, 2], [8, 1])
+    m1 = parallel.make_mesh(1)
+    assert m1.devices.shape == (8,)
