@@ -297,3 +297,136 @@ def step2(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order, fwave,
     q_new = qc - dq
 
     return q_new[:, g - 1:nx - 1 - g, g - 1:ny - 1 - g], cfl
+
+
+# ======================================================================
+# 3D unsplit (step3 + flux3 with pairwise transverse corner transport)
+# ======================================================================
+def _slc(a, axis, sl):
+    idx = [slice(None)] * a.ndim
+    idx[axis] = sl
+    return a[tuple(idx)]
+
+
+def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
+          fwave, index_capa, num_ghost, transverse_waves=2):
+    """3D unsplit classic step (step3.f90 + flux3.f90 equivalent).
+
+    Normal sweeps + limited corrections in x/y/z and *pairwise* transverse
+    corner-transport: every directional fluctuation A±dq is rpt3-split into
+    up/down-going parts along each of the two transverse axes, modifying
+    the orthogonal correction fluxes.  The reference's double-transverse
+    (rptt3) corner-of-corner terms are not yet ported, so the stability
+    bound is CFL ~0.5 (ClawSolver3D defaults cfl_desired=0.45 accordingly)
+    rather than the full-CTU 1.0.
+
+    q: (num_eqn, nx, ny, nz) ghost-padded.  Returns (q_interior, cfl).
+    """
+    g = num_ghost
+    num_eqn = q.shape[0]
+    shape = q.shape[1:]
+    deltas = (dx, dy, dz)
+
+    capa = aux[index_capa] if index_capa >= 0 else None
+    dtdx_cells = []
+    for d in range(3):
+        if capa is None:
+            dtdx_cells.append(jnp.full(shape, dt / deltas[d], dtype=q.dtype))
+        else:
+            dtdx_cells.append(dt / (deltas[d] * capa))
+
+    waves = {}
+    cfl = None
+    for d in range(3):
+        w, s, amdq, apdq, cqxx, _ = _sweep_normal(
+            q, aux, d, rp, params, mthlim, order, fwave, dtdx_cells[d])
+        waves[d] = (amdq, apdq, cqxx)
+        # CFL over interfaces touching interior cells
+        axis = 1 + d
+        n = shape[d]
+        s_int = _slc(s, axis, slice(g - 1, n - g))
+        # interior slices on the other axes
+        for d2 in range(3):
+            if d2 != d:
+                s_int = _slc(s_int, 1 + d2, slice(g, shape[d2] - g))
+        dt_r = _slc(dtdx_cells[d], 1 + d - 1, slice(g, n - g + 1))
+        dt_l = _slc(dtdx_cells[d], 1 + d - 1, slice(g - 1, n - g))
+        for d2 in range(3):
+            if d2 != d:
+                dt_r = _slc(dt_r, d2, slice(g, shape[d2] - g))
+                dt_l = _slc(dt_l, d2, slice(g, shape[d2] - g))
+        c = jnp.max(jnp.maximum(s_int * dt_r, -s_int * dt_l))
+        cfl = c if cfl is None else jnp.maximum(cfl, c)
+
+    # correction-flux arrays per axis (at that axis' interfaces)
+    F = {}
+    for d in range(3):
+        amdq, apdq, cqxx = waves[d]
+        F[d] = cqxx if cqxx is not None else jnp.zeros_like(amdq)
+
+    if rpt is not None and transverse_waves > 0:
+        for d in range(3):                      # sweep axis
+            axis_d = 1 + d
+            q_l = _slc(q, axis_d, slice(0, shape[d] - 1))
+            q_r = _slc(q, axis_d, slice(1, shape[d]))
+            if aux is not None:
+                a_l = _slc(aux, axis_d, slice(0, shape[d] - 1))
+                a_r = _slc(aux, axis_d, slice(1, shape[d]))
+            else:
+                a_l = a_r = None
+            amdq, apdq, _ = waves[d]
+            for e in range(3):                  # transverse axis
+                if e == d:
+                    continue
+                half = 0.5 * (dt / deltas[d])
+                axis_e = 1 + e
+                for imp, asdq in ((1, amdq), (2, apdq)):
+                    bm, bp = rpt(d, imp, q_l, q_r, a_l, a_r, asdq, params,
+                                 trans_axis=e)
+                    i0 = imp - 1   # target cell offset along sweep axis
+                    n_d = shape[d]
+                    n_e = shape[e]
+                    contrib = jnp.zeros_like(F[e])
+                    # below-going: F[e][.., cell i0+k (axis d), iface j-1
+                    # (axis e)] -= half*bm   for cells j in [1, n_e-1]
+                    bm_s = _slc(bm, axis_e, slice(1, n_e))
+                    bp_s = _slc(bp, axis_e, slice(0, n_e - 1))
+                    tgt = [slice(None)] * contrib.ndim
+                    tgt[axis_d] = slice(i0, i0 + n_d - 1)
+                    contrib = contrib.at[tuple(tgt)].add(-half * bm_s)
+                    contrib = contrib.at[tuple(tgt)].add(-half * bp_s)
+                    F[e] = F[e] + contrib
+
+    # ---- assemble update over cells 1..n-2 on every axis --------------
+    def inner_cells(a):
+        out = a
+        for d in range(3):
+            out = _slc(out, 1 + d, slice(1, out.shape[1 + d] - 1))
+        return out
+
+    qc = inner_cells(q)
+    dq_tot = jnp.zeros_like(qc)
+    for d in range(3):
+        amdq, apdq, _ = waves[d]
+        axis = 1 + d
+        n = shape[d]
+        # fluctuation terms: apdq at left interface, amdq at right
+        ap = _slc(apdq, axis, slice(0, n - 2))
+        am = _slc(amdq, axis, slice(1, n - 1))
+        Fd_hi = _slc(F[d], axis, slice(1, n - 1))
+        Fd_lo = _slc(F[d], axis, slice(0, n - 2))
+        term = ap + am + (Fd_hi - Fd_lo)
+        # strip to inner cells on the other axes
+        for d2 in range(3):
+            if d2 != d:
+                term = _slc(term, 1 + d2, slice(1, term.shape[1 + d2] - 1))
+        dtd = inner_cells(dtdx_cells[d][None])[0]
+        dq_tot = dq_tot + dtd * term
+    q_new = qc - dq_tot
+
+    # q_new covers cells 1..n-2 per axis; interior cells are g..n-1-g,
+    # i.e. slice(g-1, (n-2)-(g-1)) in q_new coordinates.
+    out = q_new
+    for d in range(3):
+        out = _slc(out, 1 + d, slice(g - 1, out.shape[1 + d] - (g - 1)))
+    return out, cfl

@@ -174,8 +174,15 @@ class ClawSolver3D(ClawSolver):
 
     def __init__(self, riemann_solver=None):
         super().__init__(riemann_solver)
-        self.dimensional_split = False
+        # Default to dimensional (Godunov) splitting: per-sweep TVD
+        # stability at CFL<=1.  The unsplit path currently implements only
+        # pairwise transverse terms; without the rptt3 double-transverse
+        # corrections 3D unsplit CTU is weakly unstable (Langseth & LeVeque
+        # JCP 2000), so use it only with a reduced CFL (~0.3).
+        self.dimensional_split = True
         self.transverse_waves = 2
+        self.cfl_max = 1.0
+        self.cfl_desired = 0.9
 
     def _make_hyperbolic_step(self, state):
         rp = self.rp.rp

@@ -26,12 +26,14 @@ def _rp_advection(ixy, q_l, q_r, aux_l, aux_r, params):
     return _upwind(dq, s)
 
 
-def _rpt_advection(ixy, imp, q_l, q_r, aux_l, aux_r, asdq, params):
-    # transverse velocity: the *other* coordinate's speed
-    if ixy == 0:
-        ut = params["v"]
-    else:
-        ut = params["u"]
+def _rpt_advection(ixy, imp, q_l, q_r, aux_l, aux_r, asdq, params,
+                   trans_axis=None):
+    # transverse velocity: the speed along `trans_axis` (default: the other
+    # coordinate in 2D)
+    names = ("u", "v", "w")
+    if trans_axis is None:
+        trans_axis = 1 - ixy
+    ut = params[names[trans_axis]]
     bmasdq = jnp.minimum(ut, 0.0) * asdq
     bpasdq = jnp.maximum(ut, 0.0) * asdq
     return bmasdq, bpasdq
