@@ -148,9 +148,10 @@ def read(solution, frame, path, file_prefix="fort", read_aux=False,
         if os.path.exists(aname):
             with open(aname) as f:
                 alines = f.read().splitlines()
-            adata = [[float(v) for v in ln.split()] for ln in alines if ln.split()]
-            # skip the patch header rows (2 + 3*num_dim single-value rows)
-            adata = adata[2 + 3 * num_dim:]
+            nonblank = [ln for ln in alines if ln.split()]
+            # skip the patch header rows (2 + 3*num_dim "value name" rows)
+            adata = [[float(v) for v in ln.split()]
+                     for ln in nonblank[2 + 3 * num_dim:]]
             aux = np.array(adata).T.reshape((num_aux,) + tuple(ncells), order="F")
             state.aux = np.ascontiguousarray(aux)
 

@@ -49,7 +49,8 @@ class RiemannSolver:
 
 
 from .advection import (advection_1D, advection_2D, advection_3D,  # noqa: E402,F401
-                        vc_advection_1D)
+                        vc_advection_1D, vc_advection_2D,
+                        vc_advection_fwave_1D)
 from .acoustics import acoustics_1D, acoustics_2D, acoustics_3D  # noqa: E402,F401
 from .burgers import burgers_1D  # noqa: E402,F401
 from .euler import (euler_with_efix_1D, euler_roe_1D, euler_hlle_1D,  # noqa: E402,F401
@@ -59,6 +60,7 @@ from .shallow import (shallow_roe_with_efix_1D, shallow_hlle_1D,  # noqa: E402,F
 
 ALL = {s.name: s for s in [
     advection_1D, advection_2D, advection_3D, vc_advection_1D,
+    vc_advection_2D, vc_advection_fwave_1D,
     acoustics_1D, acoustics_2D, acoustics_3D,
     burgers_1D,
     euler_with_efix_1D, euler_roe_1D, euler_hlle_1D, euler_4wave_2D,

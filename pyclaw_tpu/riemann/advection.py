@@ -52,12 +52,28 @@ def _rptt_advection(ixy, icoor, imp, impt, q_l, q_r, aux_l, aux_r,
 
 
 def _rp_vc_advection(ixy, q_l, q_r, aux_l, aux_r, params):
-    """Variable-coefficient (color equation) advection: aux[ixy] holds the
-    edge velocity at each cell's lower interface (reference
-    rp1_vc_advection.f90 / rpn2_vc_advection.f90)."""
+    """Variable-coefficient COLOR-equation advection q_t + u(x) q_x = 0:
+    aux[ixy] holds the edge velocity at each cell's lower interface
+    (reference rp1_vc_advection.f90 / rpn2_vc_advection.f90).  Not in
+    conservation form — use the fwave variant for q_t + (u q)_x = 0."""
     u = aux_r[ixy]          # velocity at the shared interface
     dq = q_r - q_l
     return _upwind(dq, u)
+
+
+def _rp_vc_advection_fwave(ixy, q_l, q_r, aux_l, aux_r, params):
+    """f-wave solver for CONSERVATIVE variable-coefficient advection
+    q_t + (u(x) q)_x = 0 with CELL-CENTERED velocities aux[ixy] (SURVEY.md
+    §2.8 fwave variant for spatially-varying flux): the wave carries the
+    full flux difference Z = u_r q_r - u_l q_l, so the scheme telescopes
+    exactly (conservation to roundoff).  Use with solver.fwave = True."""
+    u_l, u_r = aux_l[ixy], aux_r[ixy]
+    z = u_r * q_r - u_l * q_l
+    s = 0.5 * (u_l + u_r)
+    wave = z[:, None]
+    amdq = jnp.where(s < 0.0, z, jnp.zeros_like(z))
+    apdq = jnp.where(s >= 0.0, z, jnp.zeros_like(z))
+    return wave, s[None], amdq, apdq
 
 
 from . import RiemannSolver  # noqa: E402
@@ -70,3 +86,9 @@ advection_3D = RiemannSolver("advection_3D", 3, 1, 1, _rp_advection,
                              rpt=_rpt_advection, rptt=_rptt_advection,
                              requires=("u", "v", "w"))
 vc_advection_1D = RiemannSolver("vc_advection_1D", 1, 1, 1, _rp_vc_advection)
+vc_advection_fwave_1D = RiemannSolver("vc_advection_fwave_1D", 1, 1, 1,
+                                      _rp_vc_advection_fwave)
+# 2D variable-coefficient advection: normal solver only (use
+# transverse_waves=0 / dimensional splitting; the aux-row plumbing for the
+# vc transverse solver lands with the mapped-grid milestone)
+vc_advection_2D = RiemannSolver("vc_advection_2D", 2, 1, 1, _rp_vc_advection)

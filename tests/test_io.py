@@ -1,0 +1,126 @@
+"""IO round-trips, restart/checkpoint-resume, gauges, output styles
+(reference src/pyclaw/tests/test_io.py + SURVEY.md §3.4/§5.4/§5.5)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+
+import pyclaw_tpu as pyclaw  # noqa: E402
+from pyclaw_tpu import riemann  # noqa: E402
+
+
+def _make_solution(num_dim=2, num_aux=1):
+    if num_dim == 1:
+        domain = pyclaw.Domain([0.0], [1.0], [32])
+    else:
+        domain = pyclaw.Domain([0.0, -1.0], [1.0, 1.0], [16, 24])
+    state = pyclaw.State(domain, 3, num_aux=num_aux)
+    rng = np.random.default_rng(7)
+    state.q[...] = rng.standard_normal(state.q.shape)
+    if num_aux:
+        state.aux[...] = rng.standard_normal(state.aux.shape)
+    state.t = 0.725
+    return pyclaw.Solution(state, domain)
+
+
+@pytest.mark.parametrize("fmt", ["ascii", "hdf5"])
+@pytest.mark.parametrize("num_dim", [1, 2])
+def test_roundtrip(tmp_path, fmt, num_dim):
+    sol = _make_solution(num_dim)
+    sol.write(3, path=str(tmp_path), file_format=fmt, write_aux=True)
+    sol2 = pyclaw.Solution(3, path=str(tmp_path), file_format=fmt,
+                           read_aux=True)
+    assert abs(sol2.t - sol.t) < 1e-12
+    tol = 1e-7 if fmt == "ascii" else 1e-14   # ascii is %18.8e
+    np.testing.assert_allclose(sol2.q, sol.q, rtol=tol, atol=tol)
+    assert sol2.domain.num_dim == num_dim
+    gtol = 1e-7 if fmt == "ascii" else 1e-12  # ascii headers are %18.8e
+    for d1, d2 in zip(sol.domain.grid.dimensions, sol2.domain.grid.dimensions):
+        assert abs(d1.lower - d2.lower) < gtol
+        assert abs(d1.delta - d2.delta) < gtol
+    if fmt == "hdf5":
+        np.testing.assert_allclose(sol2.aux, sol.aux, atol=1e-14)
+
+
+def test_restart_continuation(tmp_path):
+    """Checkpoint-resume (SURVEY.md §3.4): run to t=0.5 writing frames,
+    then rebuild identically, load frame 5, continue to t=1.0; must match
+    an uninterrupted run (hdf5 frames are exact checkpoints)."""
+    from advection_1d import setup
+
+    # uninterrupted
+    claw = setup(nx=64, outdir=None)
+    claw.run()
+    q_full = claw.solution.q.copy()
+
+    # interrupted at frame 5 (t=0.5)
+    claw1 = setup(nx=64, outdir=str(tmp_path))
+    claw1.output_format = "hdf5"
+    claw1.run()
+    claw2 = setup(nx=64, outdir=None)
+    claw2.solution = pyclaw.Solution(5, path=str(tmp_path),
+                                     file_format="hdf5")
+    claw2.run()
+    assert abs(claw2.solution.t - 1.0) < 1e-12
+    # dt sequences differ after restart (dt resets to dt_initial), so allow
+    # scheme-level differences but require close agreement
+    err = np.max(np.abs(claw2.solution.q - q_full))
+    assert err < 2e-2, err
+
+
+def test_gauges():
+    from advection_1d import setup
+    claw = setup(nx=64, outdir=None)
+    claw.solution.domain.grid.add_gauges([[0.25], [0.75]])
+    claw.run()
+    data = claw.solution.state.gauge_data
+    assert len(data) == 2 * claw.solver.status["numsteps"]
+    # gauge 1 sits at the IC peak x0=0.75: its time series must start
+    # near 1 and return near 1 at t=1 (periodic advection)
+    g1 = [(t, v[0]) for (num, t, v) in data if num == 1]
+    assert abs(g1[0][1] - 1.0) < 0.1
+    assert abs(g1[-1][1] - 1.0) < 0.1
+    # mid-run the pulse has moved away from the gauge
+    mid = min(g1, key=lambda tv: abs(tv[0] - 0.5))
+    assert mid[1] < 0.05
+
+
+def test_output_style_3(tmp_path):
+    from advection_1d import setup
+    claw = setup(nx=64, outdir=str(tmp_path))
+    claw.output_style = 3
+    claw.nstepout = 5
+    claw.run()
+    frames = sorted(f for f in os.listdir(tmp_path) if f.startswith("fort.q"))
+    nsteps = claw.solver.status["numsteps"]
+    assert len(frames) == 1 + nsteps // 5
+
+
+def test_output_style_2(tmp_path):
+    from advection_1d import setup
+    claw = setup(nx=64, outdir=str(tmp_path))
+    claw.output_style = 2
+    claw.out_times = [0.3, 0.6, 0.9]
+    claw.run()
+    frames = sorted(f for f in os.listdir(tmp_path) if f.startswith("fort.t"))
+    assert len(frames) == 4  # frame 0 + three out_times
+    from pyclaw_tpu.fileio.ascii import read_t
+    t3 = read_t(3, str(tmp_path))[0]
+    assert abs(t3 - 0.9) < 1e-12
+
+
+def test_keep_copy_frames():
+    from advection_1d import setup
+    claw = setup(nx=64, outdir=None)
+    claw.keep_copy = True
+    claw.run()
+    assert len(claw.frames) == 11
+    assert abs(claw.frames[0].t - 0.0) < 1e-12
+    assert abs(claw.frames[-1].t - 1.0) < 1e-12
+    # frames are deep copies, not views
+    assert claw.frames[0].q[0].max() != claw.frames[5].q[0].max() or \
+        not np.allclose(claw.frames[0].q, claw.frames[5].q)
