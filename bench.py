@@ -19,7 +19,7 @@ import numpy as np
 BASELINE_CELLS_PER_SEC = 1.0e7
 
 
-def main(mx=1024, my=1024, nsteps=50, dtype="float32"):
+def main(mx=1024, my=1024, nsteps=300, dtype="float32"):
     import jax
     import jax.numpy as jnp
 
@@ -37,10 +37,12 @@ def main(mx=1024, my=1024, nsteps=50, dtype="float32"):
     dt = 0.2 * (1.0 / mx)  # fixed stable dt (CFL ~0.5 for this IC)
     step = solver._step_fn
 
-    # warmup / compile
-    q1, cfl = step(q, aux, dt, 0.0)
-    q1.block_until_ready()
-    compile_ok = bool(np.isfinite(float(cfl)))
+    # warmup / compile (no host transfers before timing: the tunneled dev
+    # chip pays a huge one-time cost on the first device->host transfer)
+    qq = q
+    for i in range(20):
+        qq, cfl = step(qq, aux, dt, 0.0)
+    qq.block_until_ready()
 
     # steady-state timing: chain steps on device, sync once at the end
     t0 = time.perf_counter()
@@ -50,6 +52,7 @@ def main(mx=1024, my=1024, nsteps=50, dtype="float32"):
     qq.block_until_ready()
     elapsed = time.perf_counter() - t0
 
+    compile_ok = bool(np.isfinite(float(cfl)))  # one transfer, after timing
     cells = mx * my
     cups = cells * nsteps / elapsed
     result = {

@@ -68,28 +68,39 @@ class ClawSolver(Solver):
         self._size_bc_lists(self.num_dim)
         if self.dt_initial is not None:
             self.dt = self.dt_initial
-        self._step_fn = self._finalize_step(self._make_hyperbolic_step(state),
+        self._step_fn = self._finalize_step(self._make_full_step(state),
                                             state)
         self._is_set_up = True
 
     def _make_hyperbolic_step(self, state):
         raise NotImplementedError
 
+    def _make_full_step(self, state):
+        """Wrap the hyperbolic step with Strang/Godunov source splitting
+        (reference classic/solver.py — ClawSolver.step).  The source hook
+        is jax-traceable, so the WHOLE step — source, BCs, sweep — is one
+        compiled program (required by the traced evolve loop)."""
+        hyper = self._make_hyperbolic_step(state)
+        if self.step_source is None:
+            return hyper
+        src = self.step_source
+        split = self.source_split
+
+        def full(q, aux, dt, t):
+            if split == 2:
+                q = src(self, state, q, dt / 2.0)
+            q_new, cfl = hyper(q, aux, dt, t)
+            if split == 1:
+                q_new = src(self, state, q_new, dt)
+            elif split == 2:
+                q_new = src(self, state, q_new, dt / 2.0)
+            return q_new, cfl
+        return full
+
     # ------------------------------------------------------------------
     def step(self, solution):
-        """Strang/Godunov source splitting around the hyperbolic step
-        (reference classic/solver.py — ClawSolver.step)."""
         state = solution.states[0]
-        dt = self.dt
-        q = self._q_dev
-        if self.step_source is not None and self.source_split == 2:
-            q = self.step_source(self, state, q, dt / 2.0)
-        q, cfl = self._step_fn(q, self._aux_dev, dt, state.t)
-        if self.step_source is not None:
-            if self.source_split == 1:
-                q = self.step_source(self, state, q, dt)
-            elif self.source_split == 2:
-                q = self.step_source(self, state, q, dt / 2.0)
+        q, cfl = self._step_fn(self._q_dev, self._aux_dev, self.dt, state.t)
         self._q_dev = q
         self.cfl.update_global_max(float(cfl))
 

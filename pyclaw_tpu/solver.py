@@ -168,6 +168,104 @@ class Solver:
     def _pull(self, state):
         state.q = np.asarray(self._q_dev)
 
+    # -- fully-traced evolve loop --------------------------------------
+    def _make_evolve_fn(self):
+        """Build a jitted lax.while_loop running the ENTIRE adaptive
+        accept/reject time loop on device.  The reference does one
+        device->host CFL readback per step (fine over PCIe, ruinous over a
+        tunneled/remote device: ~0.5 s per transfer on axon); this path
+        syncs the host exactly once per output frame.
+
+        Semantics match evolve_to_time's host loop except one corner: when
+        a final clipped step (dt -> tend-t) is rejected, the next dt is
+        derived from the clipped value rather than the unclipped one.
+        """
+        import jax
+        from jax import lax
+
+        step = self._step_fn
+        cfl_max = self.cfl_max
+        cfl_desired = self.cfl_desired
+        dt_max = self.dt_max
+        dt_variable = self.dt_variable
+        max_steps = self.max_steps
+
+        def evolve(q, aux, t0, dt0, tend):
+            big = jnp.asarray(1e99, dtype=jnp.result_type(float))
+
+            def cond(c):
+                q_, t, dt, ns, nr, cm, dmin, dmax_ = c
+                return (t < tend - 1e-12) & (ns + nr < max_steps)
+
+            def body(c):
+                q_, t, dt, ns, nr, cm, dmin, dmax_ = c
+                dt_try = jnp.minimum(dt, tend - t)
+                # time bookkeeping stays in the default (f64) dtype; the
+                # kernel sees q.dtype scalars so f32 runs stay f32
+                q_new, cfl = step(q_, aux, dt_try.astype(q_.dtype),
+                                  t.astype(q_.dtype))
+                cfl = cfl.astype(t.dtype)
+                if dt_variable:
+                    ok = jnp.isfinite(cfl) & (cfl <= cfl_max)
+                else:
+                    ok = jnp.asarray(True)
+                q_ = jnp.where(ok, q_new, q_)
+                t = jnp.where(ok, t + dt_try, t)
+                ns = ns + jnp.int32(ok)
+                nr = nr + jnp.int32(~ok)
+                cm = jnp.where(ok, jnp.maximum(cm, cfl), cm)
+                dmin = jnp.where(ok, jnp.minimum(dmin, dt_try), dmin)
+                dmax_ = jnp.where(ok, jnp.maximum(dmax_, dt_try), dmax_)
+                if dt_variable:
+                    good = jnp.isfinite(cfl) & (cfl > 0.0)
+                    dt = jnp.where(
+                        good,
+                        jnp.minimum(dt_max, dt_try * cfl_desired
+                                    / jnp.where(good, cfl, 1.0)),
+                        dt_try * 0.5)
+                return (q_, t, dt, ns, nr, cm, dmin, dmax_)
+
+            ftype = jnp.result_type(float)
+            init = (q, jnp.asarray(t0, dtype=ftype),
+                    jnp.asarray(dt0, dtype=ftype),
+                    jnp.int32(0), jnp.int32(0),
+                    jnp.zeros((), ftype), big,
+                    jnp.zeros((), ftype))
+            return lax.while_loop(cond, body, init)
+
+        return jax.jit(evolve)
+
+    def _can_use_traced_evolve(self, state):
+        return (self.before_step is None
+                and not state.patch.grid.gauge_indices
+                and getattr(self, "traced_evolve", True))
+
+    def _evolve_traced(self, solution, tend):
+        state = solution.states[0]
+        if getattr(self, "_evolve_fn", None) is None:
+            self._evolve_fn = self._make_evolve_fn()
+        out = self._evolve_fn(self._q_dev, self._aux_dev, state.t, self.dt,
+                              tend)
+        q, t, dt, ns, nr, cm, dmin, dmax_ = out
+        self._q_dev = q
+        # single host sync for the status scalars
+        ns = int(ns)
+        nr = int(nr)
+        t = float(t)
+        if t < tend - 1e-12:
+            raise Exception(
+                f"Unable to reach tend={tend} within {self.max_steps} "
+                f"steps (t={t}, accepted={ns}, rejected={nr})")
+        state.t = tend
+        self.dt = float(dt)
+        self.cfl.update_global_max(float(cm))
+        self.status["numsteps"] += ns
+        self.status["cflmax"] = max(self.status["cflmax"], float(cm))
+        if ns > 0:
+            self.status["dtmin"] = min(self.status["dtmin"], float(dmin))
+            self.status["dtmax"] = max(self.status["dtmax"], float(dmax_))
+        return self.status
+
     def accept_reject_step(self, cfl):
         import math
         if self.dt_variable and not math.isfinite(cfl):
@@ -192,6 +290,12 @@ class Solver:
             else self.max_steps
 
         self._push(state)
+
+        if not take_one_step and self._can_use_traced_evolve(state):
+            status = self._evolve_traced(solution, tend)
+            self._pull(state)
+            return status
+
         num_steps = 0
         while True:
             num_steps += 1
