@@ -72,6 +72,169 @@ def weno5(q):
     return ql, qr
 
 
+# ----------------------------------------------------------------------
+# Generic odd-order JS-WENO (orders 5,7,...,17 — reference weno.f90's
+# hardcoded per-order tables, derived here numerically at build time).
+# ----------------------------------------------------------------------
+import functools
+
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _weno_tables(k):
+    """Coefficient tables for WENO of order 2k-1 (k = stencil width).
+
+    Returns (c_right, c_left, d_right, d_left, B):
+      c_right[l, j]: reconstruction coeff of cell value v_{i-k+1+l+j} for
+                     the RIGHT edge of cell i from candidate stencil l
+      d_right[l]:    ideal weight of stencil l for the right edge
+      (left-edge variants by symmetry)
+      B[l]:          (k, k) SPD quadratic-form matrix of the Jiang-Shu
+                     smoothness indicator: beta_l = v_l^T B[l] v_l where
+                     v_l are the k cell values of stencil l.
+    All computed from Lagrange interpolation of the primitive function and
+    exact polynomial integration (float64), matching the published tables
+    to roundoff.
+    """
+    # --- reconstruction coefficients: stencil l uses cells
+    #     {i-k+1+l, ..., i+l}; evaluate interpolant at x = +1/2 (right
+    #     edge) and -1/2 (left edge), cell i centered at 0, width 1.
+    def recon_coeffs(l, xi):
+        # primitive-function approach: V(x) = int v; V at cell edges.
+        # cells m = -k+1+l .. l, edges at m-1/2 .. ; coefficient of v_m in
+        # derivative of Lagrange interpolant of V through the k+1 edges.
+        edges = np.array([m - 0.5 for m in range(-k + 1 + l, l + 2)])
+        coeffs = np.zeros(k)
+        # dV/dx at xi of the Lagrange polynomial through (edges, V);
+        # V_edge_j = sum_{m < j} v_m  -> coefficient extraction
+        nE = k + 1
+        for j in range(nE):
+            # derivative of Lagrange basis L_j at xi
+            others = [edges[a] for a in range(nE) if a != j]
+            denom = np.prod([edges[j] - o for o in others])
+            dsum = 0.0
+            for a in range(len(others)):
+                term = 1.0
+                for b in range(len(others)):
+                    if b != a:
+                        term *= (xi - others[b])
+                dsum += term
+            dLj = dsum / denom
+            # V_j = sum_{m=0}^{j-1} v_{(-k+1+l)+m}
+            for m in range(j):
+                coeffs[m] += dLj
+        return coeffs
+
+    c_right = np.array([recon_coeffs(l, 0.5) for l in range(k)])
+    c_left = np.array([recon_coeffs(l, -0.5) for l in range(k)])
+
+    # --- full (2k-1)-cell optimal coefficients, for the ideal weights
+    def full_coeffs(xi):
+        edges = np.array([m - 0.5 for m in range(-k + 1, k + 1)])
+        nE = 2 * k
+        coeffs = np.zeros(2 * k - 1)
+        for j in range(nE):
+            others = [edges[a] for a in range(nE) if a != j]
+            denom = np.prod([edges[j] - o for o in others])
+            dsum = 0.0
+            for a in range(len(others)):
+                term = 1.0
+                for b in range(len(others)):
+                    if b != a:
+                        term *= (xi - others[b])
+                dsum += term
+            dLj = dsum / denom
+            for m in range(j):
+                coeffs[m] += dLj
+        return coeffs
+
+    def ideal_weights(c_stencils, xi):
+        # solve sum_l d_l * c_stencils[l] (embedded) == full_coeffs(xi)
+        A = np.zeros((2 * k - 1, k))
+        for l in range(k):
+            A[l:l + k, l] += c_stencils[l]
+        b = full_coeffs(xi)
+        d, *_ = np.linalg.lstsq(A, b, rcond=None)
+        return d
+
+    d_right = ideal_weights(c_right, 0.5)
+    d_left = ideal_weights(c_left, -0.5)
+
+    # --- smoothness indicators: beta_l = sum_{m=1}^{k-1}
+    #     int_{-1/2}^{1/2} (d^m p_l / dx^m)^2 dx  (unit cell width)
+    # p_l: degree k-1 polynomial with cell averages v over stencil l.
+    B = []
+    for l in range(k):
+        # basis: for each cell value v_m, polynomial e_m(x) = contribution.
+        # Build p_l coefficients as linear map M: poly_coeffs = M @ v.
+        # Conditions: average of p over cell c equals v_c for the k cells.
+        cells = list(range(-k + 1 + l, l + 1))
+        A = np.zeros((k, k))  # A[c, p] = avg of x^p over cell c
+        for ci, c in enumerate(cells):
+            for p in range(k):
+                a, b2 = c - 0.5, c + 0.5
+                A[ci, p] = (b2 ** (p + 1) - a ** (p + 1)) / (p + 1)
+        M = np.linalg.inv(A)  # (poly coeff in monomials) x (cell values)
+        Bl = np.zeros((k, k))
+        for m in range(1, k):
+            # m-th derivative of x^p: factor fall(p,m) x^{p-m}
+            D = np.zeros((k, k))  # deriv in monomial basis
+            for p in range(m, k):
+                fact = 1.0
+                for t in range(m):
+                    fact *= (p - t)
+                D[p - m, p] = fact
+            Dm = D @ M                    # v -> coeffs of d^m p/dx^m
+            # Gram matrix of monomials on [-1/2, 1/2]
+            G = np.zeros((k, k))
+            for p in range(k):
+                for q2 in range(k):
+                    if (p + q2) % 2 == 0:
+                        G[p, q2] = 2 * (0.5 ** (p + q2 + 1)) / (p + q2 + 1)
+            Bl += Dm.T @ G @ Dm
+        B.append(Bl)
+    return c_right, c_left, d_right, d_left, np.array(B)
+
+
+def weno(order, q):
+    """Generic odd-order JS-WENO edge reconstruction (order = 5,7,...,17;
+    reference weno.f90 weno5..weno17).  Same convention as weno5: returns
+    (ql, qr) per cell."""
+    if order == 5:
+        return weno5(q)
+    if order % 2 == 0 or order < 3:
+        raise ValueError("WENO order must be odd >= 3")
+    k = (order + 1) // 2
+    c_right, c_left, d_right, d_left, B = (
+        [np.asarray(a) for a in _weno_tables(k)])
+
+    shifts = [_shift(q, m) for m in range(-k + 1, k)]  # index m+k-1 = cell offset m
+
+    def edge(c_tab, d_tab):
+        num = 0.0
+        den = 0.0
+        for l in range(k):
+            beta = 0.0
+            cells = [shifts[(-k + 1 + l + j) + k - 1] for j in range(k)]
+            for a in range(k):
+                for b in range(k):
+                    coeff = float(B[l][a, b])
+                    if coeff != 0.0:
+                        beta = beta + coeff * cells[a] * cells[b]
+            p = 0.0
+            for j in range(k):
+                p = p + float(c_tab[l, j]) * cells[j]
+            alpha = float(d_tab[l]) / (EPWENO + beta) ** 2
+            num = num + alpha * p
+            den = den + alpha
+        return num / den
+
+    qr = edge(c_right, d_right)
+    ql = edge(c_left, d_left)
+    return ql, qr
+
+
 def tvd2(q, limiter_id=4):
     """Second-order TVD-limited linear reconstruction (SharpClaw
     lim_type=1; reference reconstruct.f90 tvd2 path).  MC limiter default."""

@@ -28,9 +28,9 @@ from ..limiters import recon
 
 def _recon(qbc, lim_type, weno_order, tvd_limiter=4):
     if lim_type == 2:
-        if weno_order != 5:
-            raise NotImplementedError("only weno_order=5 is ported so far")
-        return recon.weno5(qbc)
+        if weno_order == 5:
+            return recon.weno5(qbc)
+        return recon.weno(weno_order, qbc)
     elif lim_type == 1:
         return recon.tvd2(qbc, limiter_id=tvd_limiter)
     elif lim_type == 0:

@@ -48,6 +48,14 @@ class SharpClawSolver(Solver):
         self.backend = DEFAULT_BACKEND
         self._step_fn = None
         self._cfl_set_by_user = False
+        # generic 'RK' integrator: user-supplied explicit Butcher tableau
+        # (reference sharpclaw/solver.py attrs a, b, c)
+        self.a = None
+        self.b = None
+        self.c = None
+        # SSPLMM integrators (reference 'SSPLMMk2'/'SSPLMMk3'):
+        self.lmm_steps = 4
+        self._lmm_history = None
 
     @property
     def _weno_ghost(self):
@@ -67,7 +75,18 @@ class SharpClawSolver(Solver):
             self.cfl_desired, self.cfl_max = _CFL_DEFAULTS[self.time_integrator]
         if self.dt_initial is not None:
             self.dt = self.dt_initial
-        self._step_fn = self._finalize_step(self._make_step(state), state)
+        if self.time_integrator in ("SSPLMMk2", "SSPLMMk3"):
+            if self.dt_variable:
+                raise ValueError(
+                    "SSPLMM integrators require dt_variable=False here "
+                    "(constant-step coefficients; set solver.dt)")
+            self._dq_fn = self._finalize_step(self._make_dq(state), state)
+            self._starter_fn = self._finalize_step(
+                self._make_step(state, integrator="SSP104"), state)
+            self._lmm_history = []
+        else:
+            self._step_fn = self._finalize_step(self._make_step(state),
+                                                state)
         self._is_set_up = True
 
     # ------------------------------------------------------------------
@@ -99,9 +118,9 @@ class SharpClawSolver(Solver):
             return d, cfl
         return dq
 
-    def _make_step(self, state):
+    def _make_step(self, state, integrator=None):
         dq = self._make_dq(state)
-        integrator = self.time_integrator
+        integrator = integrator or self.time_integrator
 
         if integrator == "Euler":
             def step(q, aux, dt, t):
@@ -138,17 +157,107 @@ class SharpClawSolver(Solver):
                 cfl = jnp.maximum(cfl, c)
                 qn = s2 + 0.6 * s1 + 0.1 * d
                 return qn, cfl
+        elif integrator == "RK":
+            # generic explicit Runge-Kutta from the user's Butcher tableau
+            # (reference sharpclaw 'RK' branch).  dq already carries dt.
+            import numpy as _np
+            if self.a is None or self.b is None:
+                raise ValueError("time_integrator='RK' needs solver.a and "
+                                 "solver.b (Butcher tableau)")
+            A = _np.asarray(self.a, dtype=float)
+            b = _np.asarray(self.b, dtype=float)
+            c = (_np.asarray(self.c, dtype=float) if self.c is not None
+                 else A.sum(axis=1))
+            nstage = len(b)
+
+            def step(q, aux, dt, t):
+                ks = []
+                cfl = jnp.zeros(())
+                for i in range(nstage):
+                    yi = q
+                    for j in range(i):
+                        if A[i, j] != 0.0:
+                            yi = yi + float(A[i, j]) * ks[j]
+                    d, cc = dq(yi, aux, dt, t + float(c[i]) * dt)
+                    ks.append(d)
+                    cfl = jnp.maximum(cfl, cc)
+                qn = q
+                for i in range(nstage):
+                    if b[i] != 0.0:
+                        qn = qn + float(b[i]) * ks[i]
+                return qn, cfl
+
+        elif integrator in ("SSPLMMk2", "SSPLMMk3", "LMM"):
+            # handled stepwise in self.step() (needs solution history);
+            # _make_step only provides the dq evaluator + an RK starter.
+            raise AssertionError("LMM integrators do not build a one-step fn")
         else:
             raise NotImplementedError(
                 f"time_integrator {integrator!r} not ported yet "
-                "(Euler, SSP33, SSP104 available)")
+                "(Euler, SSP33, SSP104, RK, SSPLMMk2, SSPLMMk3 available)")
         return step
+
+    # -- SSP linear multistep methods ----------------------------------
+    # Optimal explicit SSP k-step methods (constant step size):
+    #   order 2: u^{n+1} = a0 u^n + ak u^{n-k+1} + b0 dq^n
+    #            a0 = k(k-2)/(k-1)^2, ak = 1/(k-1)^2, b0 = k/(k-1)
+    #   order 3: u^{n+1} = a0 u^n + ak u^{n-k+1} + b0 dq^n + bk dq^{n-k+1}
+    #            ak = (3k-1)/(k-1)^3, a0 = 1-ak,
+    #            b0 = k^2/(k-1)^2, bk = k/(k-1)^2
+    # (k=4, order 3 reproduces the classic Shu 1988 SSPLMM(4,3):
+    #  16/27, 11/27, 16/9 h, 4/9 h.)  Reference sharpclaw supports these
+    # with step-ratio machinery for variable dt; here dt_variable=False is
+    # required (setup raises otherwise) and start-up uses SSP104 steps.
+    def _lmm_coeffs(self):
+        k = self.lmm_steps
+        if k < 3:
+            raise ValueError("SSPLMM needs lmm_steps >= 3")
+        if self.time_integrator == "SSPLMMk2":
+            a0 = k * (k - 2) / (k - 1) ** 2
+            ak = 1.0 / (k - 1) ** 2
+            return a0, ak, k / (k - 1), 0.0
+        ak = (3.0 * k - 1) / (k - 1) ** 3
+        a0 = 1.0 - ak
+        b0 = k ** 2 / (k - 1) ** 2
+        bk = k / (k - 1) ** 2
+        return a0, ak, b0, bk
+
+    def _lmm_step(self, state):
+        """One LMM step (host-sequenced; history of device arrays)."""
+        a0, ak, b0, bk = self._lmm_coeffs()
+        k = self.lmm_steps
+        hist = self._lmm_history
+        q = self._q_dev
+        if len(hist) < k - 1:
+            # start-up: SSP104 steps until k-1 history entries exist
+            d, cfl = self._dq_fn(q, self._aux_dev, self.dt, state.t)
+            hist.append((q, d))
+            q_new, cfl = self._starter_fn(q, self._aux_dev, self.dt, state.t)
+            self._q_dev = q_new
+            return float(cfl)
+        d, cfl = self._dq_fn(q, self._aux_dev, self.dt, state.t)
+        hist.append((q, d))
+        q_old, d_old = hist.pop(0)          # u^{n-k+1}, dq^{n-k+1}
+        q_new = a0 * q + ak * q_old + b0 * d
+        if bk != 0.0:
+            q_new = q_new + bk * d_old
+        self._q_dev = q_new
+        return float(cfl)
 
     def step(self, solution):
         state = solution.states[0]
+        if self.time_integrator in ("SSPLMMk2", "SSPLMMk3"):
+            cfl = self._lmm_step(state)
+            self.cfl.update_global_max(cfl)
+            return
         q, cfl = self._step_fn(self._q_dev, self._aux_dev, self.dt, state.t)
         self._q_dev = q
         self.cfl.update_global_max(float(cfl))
+
+    def _can_use_traced_evolve(self, state):
+        if self.time_integrator in ("SSPLMMk2", "SSPLMMk3"):
+            return False  # multistep history is host-sequenced
+        return super()._can_use_traced_evolve(state)
 
 
 class SharpClawSolver1D(SharpClawSolver):

@@ -1,0 +1,85 @@
+"""SharpClaw time integrators: RK (Butcher tableau), SSPLMMk2/k3
+(reference sharpclaw/solver.py time_integrator family) — convergence and
+agreement oracles on smooth advection."""
+
+import numpy as np
+import pytest
+
+import pyclaw_tpu as pyclaw
+from pyclaw_tpu import riemann
+
+
+def _run(time_integrator, nx=64, dt=None, tfinal=1.0, **solver_attrs):
+    solver = pyclaw.SharpClawSolver1D(riemann.advection_1D)
+    solver.time_integrator = time_integrator
+    solver.all_bcs = pyclaw.BC.periodic
+    for k, v in solver_attrs.items():
+        setattr(solver, k, v)
+    if dt is not None:
+        solver.dt_variable = False
+        solver.dt_initial = dt
+    domain = pyclaw.Domain([0.0], [1.0], [nx])
+    state = pyclaw.State(domain, 1)
+    state.problem_data["u"] = 1.0
+    x = domain.grid.x.centers
+    state.q[0, :] = np.sin(2 * np.pi * x)
+    claw = pyclaw.Controller()
+    claw.solution = pyclaw.Solution(state, domain)
+    claw.solver = solver
+    claw.tfinal = tfinal
+    claw.num_output_times = 1
+    claw.output_format = None
+    claw.run()
+    err = np.max(np.abs(claw.solution.q[0] - np.sin(2 * np.pi * x)))
+    return err, claw
+
+
+def test_rk4_tableau():
+    """Classical RK4 via the generic 'RK' branch matches SSP104 accuracy
+    class (both 4th order) on smooth advection."""
+    A = [[0, 0, 0, 0],
+         [0.5, 0, 0, 0],
+         [0, 0.5, 0, 0],
+         [0, 0, 1.0, 0]]
+    b = [1 / 6, 1 / 3, 1 / 3, 1 / 6]
+    err_rk4, _ = _run("RK", dt=1.0 / 256, a=A, b=b)
+    err_ssp, _ = _run("SSP104", dt=1.0 / 256)
+    # both are 4th order; spatial error (WENO5, nx=64) dominates, so the
+    # two integrators give near-identical results
+    assert abs(err_rk4 - err_ssp) < 0.2 * max(err_rk4, err_ssp) + 1e-8, \
+        (err_rk4, err_ssp)
+
+
+def test_rk_missing_tableau_raises():
+    with pytest.raises(ValueError):
+        _run("RK", dt=0.01)
+
+
+@pytest.mark.parametrize("integrator,order", [("SSPLMMk2", 2),
+                                              ("SSPLMMk3", 3)])
+def test_ssplmm_convergence(integrator, order):
+    """Temporal convergence at the design order: fix a fine spatial grid,
+    halve dt, error ratio ~ 2^order (error dominated by time integration
+    at these dt)."""
+    # dt must respect the LMM SSP bound (C=2/3 resp. 1/3 of the FE limit
+    # dx/u).  Compare against a same-grid SSP104 tiny-dt reference so the
+    # WENO5 spatial error cancels and the pure temporal rate shows.
+    _, claw_ref = _run("SSP104", nx=128, dt=1.0 / 4800)
+    q_ref = claw_ref.solution.q[0].copy()
+    errs = []
+    for dt in (1.0 / 600, 1.0 / 1200):
+        _, claw = _run(integrator, nx=128, dt=dt, lmm_steps=4)
+        errs.append(np.max(np.abs(claw.solution.q[0] - q_ref)))
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > order - 0.45, (errs, rate)
+
+
+def test_ssplmm_requires_fixed_dt():
+    with pytest.raises(ValueError):
+        solver = pyclaw.SharpClawSolver1D(riemann.advection_1D)
+        solver.time_integrator = "SSPLMMk2"
+        solver.all_bcs = pyclaw.BC.periodic
+        domain = pyclaw.Domain([0.0], [1.0], [16])
+        state = pyclaw.State(domain, 1)
+        state.problem_data["u"] = 1.0
+        solver.setup(pyclaw.Solution(state, domain))
