@@ -33,11 +33,15 @@ def weno5(q):
     ql[..., i] = value at left edge of cell i (x_{i-1/2}^+),
     qr[..., i] = value at right edge of cell i (x_{i+1/2}^-).
     """
-    vm2 = _shift(q, -2)
-    vm1 = _shift(q, -1)
-    v0 = q
-    vp1 = _shift(q, 1)
-    vp2 = _shift(q, 2)
+    return weno5_stencil(_shift(q, -2), _shift(q, -1), q,
+                         _shift(q, 1), _shift(q, 2))
+
+
+def weno5_stencil(vm2, vm1, v0, vp1, vp2):
+    """WENO5 edge values from explicit per-cell stencil arrays (used by
+    the characteristic-decomposition path, where the stencil values are
+    projections onto the target cell's eigenvectors — reference
+    weno.f90 weno5_char)."""
 
     # smoothness indicators (Jiang-Shu), shared by both edges
     b0 = (13.0 / 12.0) * (vm2 - 2.0 * vm1 + v0) ** 2 \

@@ -41,6 +41,12 @@ class RiemannSolver:
         self.rp = rp          # normal solver
         self.rpt = rpt        # transverse solver (2D/3D)
         self.rptt = rptt      # double-transverse solver (3D)
+        self.evec = None      # eigenvector hook for char_decomp (evec.f90)
+        # physical-admissibility predicate fn(q, aux, params) -> bool[*n];
+        # used by SharpClaw to fall back to first-order reconstruction in
+        # cells whose WENO edge states would be unphysical (negative
+        # density/pressure near strong shocks — e.g. Woodward-Colella)
+        self.positivity = None
         self.requires = tuple(requires)  # required problem_data keys
 
     def __repr__(self):
@@ -57,6 +63,11 @@ from .euler import (euler_with_efix_1D, euler_roe_1D, euler_hlle_1D,  # noqa: E4
                     euler_4wave_2D, euler_5wave_2D, euler_3D)
 from .shallow import (shallow_roe_with_efix_1D, shallow_hlle_1D,  # noqa: E402,F401
                       shallow_roe_with_efix_2D)
+from .traffic import traffic_1D  # noqa: E402,F401
+from .kpp import kpp_2D  # noqa: E402,F401
+from .acoustics_var import (acoustics_variable_1D,  # noqa: E402,F401
+                            vc_acoustics_2D)
+from .psystem import psystem_1D  # noqa: E402,F401
 
 ALL = {s.name: s for s in [
     advection_1D, advection_2D, advection_3D, vc_advection_1D,
@@ -66,4 +77,5 @@ ALL = {s.name: s for s in [
     euler_with_efix_1D, euler_roe_1D, euler_hlle_1D, euler_4wave_2D,
     euler_5wave_2D, euler_3D,
     shallow_roe_with_efix_1D, shallow_hlle_1D, shallow_roe_with_efix_2D,
+    traffic_1D, kpp_2D, acoustics_variable_1D, vc_acoustics_2D, psystem_1D,
 ]}

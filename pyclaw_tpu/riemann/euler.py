@@ -188,11 +188,20 @@ def _rpn2_euler(ixy, q_l, q_r, aux_l, aux_r, params, tracer=False):
     speeds = [u - a, u, u, u + a]
 
     if tracer:
-        # 5th equation: passive tracer advected with the flow; it rides the
-        # entropy wave (rpn2_euler_5wave.f90).
+        # 5th equation: passive tracer q4 = rho*phi (rpn2_euler_5wave.f90).
+        # Roe extension: every wave that carries density also carries
+        # phi_hat * (density strength); the remaining concentration jump
+        # rides its own u-speed wave — this keeps amdq+apdq == the exact
+        # tracer flux difference (verified in test_riemann).
         T = 4
-        dT = d[T]
-        wt = jnp.zeros((num_eqn,) + sp, d.dtype).at[T].set(dT)
+        srl, srr = jnp.sqrt(q_l[0]), jnp.sqrt(q_r[0])
+        phat = (srl * (q_l[T] / q_l[0]) + srr * (q_r[T] / q_r[0])) \
+            / (srl + srr)
+        waves[0] = waves[0].at[T].set(a1 * phat)
+        waves[1] = waves[1].at[T].set(a3 * phat)
+        waves[3] = waves[3].at[T].set(a4 * phat)
+        a5 = d[T] - phat * d0
+        wt = jnp.zeros((num_eqn,) + sp, d.dtype).at[T].set(a5)
         waves.append(wt)
         speeds.append(u)
 
@@ -401,12 +410,54 @@ def _rptt3_euler(ixy, icoor, imp, impt, q_l, q_r, aux_l, aux_r, bsasdq,
                                    bsasdq, params, 1 + ixy)
 
 
+def _evec_euler_1d(ixy, q, aux, params):
+    """Right/left eigenvector matrices of the 1D Euler Jacobian at each
+    cell state (reference sharpclaw/evec.f90; used by char_decomp).
+    Returns (R, L), each (num_eqn, num_eqn, *n), with L = R^-1 analytic."""
+    gamma = params["gamma"]
+    g1 = gamma - 1.0
+    rho, mom, E = q[0], q[1], q[2]
+    u = mom / rho
+    p = g1 * (E - 0.5 * rho * u * u)
+    a = jnp.sqrt(gamma * p / rho)
+    H = (E + p) / rho
+
+    one = jnp.ones_like(u)
+    R = jnp.stack([
+        jnp.stack([one, one, one]),
+        jnp.stack([u - a, u, u + a]),
+        jnp.stack([H - u * a, 0.5 * u * u, H + u * a]),
+    ])
+    b1 = g1 / (a * a)
+    b2 = 0.5 * b1 * u * u
+    L = jnp.stack([
+        jnp.stack([0.5 * (b2 + u / a), -0.5 * (b1 * u + 1.0 / a), 0.5 * b1]),
+        jnp.stack([1.0 - b2, b1 * u, -b1]),
+        jnp.stack([0.5 * (b2 - u / a), -0.5 * (b1 * u - 1.0 / a), 0.5 * b1]),
+    ])
+    return R, L
+
+
+def _make_euler_positivity(vel_idx, e_idx):
+    def positivity(q, aux, params):
+        rho = q[0]
+        ke = 0.5 * sum(q[i] ** 2 for i in vel_idx) / jnp.where(rho > 0.0,
+                                                               rho, 1.0)
+        p = (params["gamma"] - 1.0) * (q[e_idx] - ke)
+        return (rho > 0.0) & (p > 0.0)
+    return positivity
+
+
 from . import RiemannSolver  # noqa: E402
 
 euler_with_efix_1D = RiemannSolver("euler_with_efix_1D", 1, 3, 3,
                                    _rp1_euler_with_efix, requires=("gamma",))
+euler_with_efix_1D.evec = _evec_euler_1d
+euler_with_efix_1D.positivity = _make_euler_positivity((1,), 2)
 euler_roe_1D = RiemannSolver("euler_roe_1D", 1, 3, 3,
                              _rp1_euler_roe_nofix, requires=("gamma",))
+euler_roe_1D.evec = _evec_euler_1d
+euler_roe_1D.positivity = _make_euler_positivity((1,), 2)
 euler_hlle_1D = RiemannSolver("euler_hlle_1D", 1, 3, 2,
                               _rp1_euler_hlle, requires=("gamma",))
 euler_4wave_2D = RiemannSolver("euler_4wave_2D", 2, 4, 4,
@@ -418,3 +469,8 @@ euler_5wave_2D = RiemannSolver("euler_5wave_2D", 2, 5, 5,
 euler_3D = RiemannSolver("euler_3D", 3, 5, 5, _rpn3_euler,
                          rpt=_rpt3_euler, rptt=_rptt3_euler,
                          requires=("gamma",))
+
+euler_hlle_1D.positivity = _make_euler_positivity((1,), 2)
+euler_4wave_2D.positivity = _make_euler_positivity((1, 2), 3)
+euler_5wave_2D.positivity = _make_euler_positivity((1, 2), 3)
+euler_3D.positivity = _make_euler_positivity((1, 2, 3), 4)

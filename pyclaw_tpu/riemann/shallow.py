@@ -226,3 +226,12 @@ shallow_roe_with_efix_2D = RiemannSolver("shallow_roe_with_efix_2D", 2, 3, 3,
                                          _rpn2_shallow_roe,
                                          rpt=_rpt2_shallow_roe,
                                          requires=("grav",))
+
+
+def _shallow_positivity(q, aux, params):
+    return q[0] > 0.0
+
+
+shallow_roe_with_efix_1D.positivity = _shallow_positivity
+shallow_hlle_1D.positivity = _shallow_positivity
+shallow_roe_with_efix_2D.positivity = _shallow_positivity

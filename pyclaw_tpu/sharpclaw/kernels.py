@@ -38,8 +38,26 @@ def _recon(qbc, lim_type, weno_order, tvd_limiter=4):
     raise ValueError(f"bad lim_type {lim_type}")
 
 
+def _recon_char(qbc, auxbc, params, evec, ixy, weno_order):
+    """Characteristic-wise WENO reconstruction (reference weno5_char /
+    reconstruct.f90 char_decomp=2 path): project each cell's stencil onto
+    that cell's eigenvectors, reconstruct the characteristic fields, and
+    transform the edge values back."""
+    if weno_order != 5:
+        raise NotImplementedError("char_decomp currently supports "
+                                  "weno_order=5")
+    R, L = evec(ixy, qbc, auxbc, params)
+    ws = [jnp.einsum("ab...,b...->a...", L, recon._shift(qbc, m))
+          for m in (-2, -1, 0, 1, 2)]
+    wl, wr = recon.weno5_stencil(*ws)
+    ql = jnp.einsum("ab...,b...->a...", R, wl)
+    qr = jnp.einsum("ab...,b...->a...", R, wr)
+    return ql, qr
+
+
 def dq_1d(qbc, auxbc, dt, dx, rp, params, lim_type, weno_order, index_capa,
-          num_ghost, ixy=0, tfluct=None):
+          num_ghost, ixy=0, tfluct=None, char_decomp=0, evec=None,
+          positivity=None):
     """Semidiscrete update along the LAST axis (flux1.f90 equivalent).
 
     qbc: (num_eqn, ..., n) ghost-padded.  Returns (dq interior along last
@@ -48,7 +66,18 @@ def dq_1d(qbc, auxbc, dt, dx, rp, params, lim_type, weno_order, index_capa,
     g = num_ghost
     n = qbc.shape[-1]
 
-    ql, qr = _recon(qbc, lim_type, weno_order)
+    if char_decomp and evec is not None and lim_type == 2:
+        ql, qr = _recon_char(qbc, auxbc, params, evec, ixy, weno_order)
+    else:
+        ql, qr = _recon(qbc, lim_type, weno_order)
+
+    if positivity is not None:
+        # per-cell first-order fallback where a reconstructed edge state
+        # would be unphysical (keeps strong-shock problems alive; the
+        # reference relies on char_decomp + tfluct for this)
+        ok = positivity(ql, auxbc, params) & positivity(qr, auxbc, params)
+        ql = jnp.where(ok[None], ql, qbc)
+        qr = jnp.where(ok[None], qr, qbc)
 
     # interface k between cells k, k+1: states (qr_k, ql_{k+1})
     q_li = qr[..., :-1]
@@ -84,7 +113,8 @@ def dq_1d(qbc, auxbc, dt, dx, rp, params, lim_type, weno_order, index_capa,
 
 
 def dq_nd(qbc, auxbc, dt, deltas, rp, params, lim_type, weno_order,
-          index_capa, num_ghost, tfluct=None):
+          index_capa, num_ghost, tfluct=None, char_decomp=0, evec=None,
+          positivity=None):
     """Multi-dimensional MOL update: per-axis 1D sweeps accumulated
     (flux2.f90/flux3.f90 equivalent — no transverse solves needed).
 
@@ -98,7 +128,9 @@ def dq_nd(qbc, auxbc, dt, deltas, rp, params, lim_type, weno_order,
         qm = jnp.moveaxis(qbc, axis, -1)
         auxm = None if auxbc is None else jnp.moveaxis(auxbc, axis, -1)
         dqd, cfld = dq_1d(qm, auxm, dt, deltas[d], rp, params, lim_type,
-                          weno_order, index_capa, g, ixy=d, tfluct=tfluct)
+                          weno_order, index_capa, g, ixy=d, tfluct=tfluct,
+                          char_decomp=char_decomp, evec=evec,
+                          positivity=positivity)
         dqd = jnp.moveaxis(dqd, -1, axis)
         # strip ghosts on the other axes
         sl = [slice(None)] * dqd.ndim

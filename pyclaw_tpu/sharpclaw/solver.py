@@ -102,17 +102,27 @@ class SharpClawSolver(Solver):
         tfluct = self.tfluct if self.tfluct_solver else None
         num_dim = self.num_dim
         dq_src = self.dq_src
+        char_decomp = self.char_decomp
+        evec = self.rp.evec
+        positivity = self.rp.positivity
+        if char_decomp and evec is None:
+            raise ValueError(f"char_decomp={char_decomp} needs an evec hook "
+                             f"on Riemann solver {self.rp.name}")
 
         def dq(q, aux, dt, t):
             qbc, auxbc = self._extend_bc(q, aux, t, state)
             if num_dim == 1:
                 d, cfl = kernels.dq_1d(qbc, auxbc, dt, deltas[0], rp, params,
                                        lim_type, weno_order, index_capa, g,
-                                       tfluct=tfluct)
+                                       tfluct=tfluct,
+                                       char_decomp=char_decomp, evec=evec,
+                                       positivity=positivity)
             else:
                 d, cfl = kernels.dq_nd(qbc, auxbc, dt, deltas, rp, params,
                                        lim_type, weno_order, index_capa, g,
-                                       tfluct=tfluct)
+                                       tfluct=tfluct,
+                                       char_decomp=char_decomp, evec=evec,
+                                       positivity=positivity)
             if dq_src is not None:
                 d = d + dt * dq_src(self, state, q, dt, t)
             return d, cfl
