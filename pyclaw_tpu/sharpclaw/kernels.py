@@ -26,9 +26,12 @@ import jax.numpy as jnp
 from ..limiters import recon
 
 
-def _recon(qbc, lim_type, weno_order, tvd_limiter=4):
+def _recon(qbc, lim_type, weno_order, tvd_limiter=4, backend="xla"):
     if lim_type == 2:
         if weno_order == 5:
+            if backend == "pallas":
+                from ..ops import weno5_pallas
+                return weno5_pallas(qbc)
             return recon.weno5(qbc)
         return recon.weno(weno_order, qbc)
     elif lim_type == 1:
@@ -57,7 +60,7 @@ def _recon_char(qbc, auxbc, params, evec, ixy, weno_order):
 
 def dq_1d(qbc, auxbc, dt, dx, rp, params, lim_type, weno_order, index_capa,
           num_ghost, ixy=0, tfluct=None, char_decomp=0, evec=None,
-          positivity=None):
+          positivity=None, backend="xla"):
     """Semidiscrete update along the LAST axis (flux1.f90 equivalent).
 
     qbc: (num_eqn, ..., n) ghost-padded.  Returns (dq interior along last
@@ -69,7 +72,7 @@ def dq_1d(qbc, auxbc, dt, dx, rp, params, lim_type, weno_order, index_capa,
     if char_decomp and evec is not None and lim_type == 2:
         ql, qr = _recon_char(qbc, auxbc, params, evec, ixy, weno_order)
     else:
-        ql, qr = _recon(qbc, lim_type, weno_order)
+        ql, qr = _recon(qbc, lim_type, weno_order, backend=backend)
 
     if positivity is not None:
         # per-cell first-order fallback where a reconstructed edge state
@@ -114,7 +117,7 @@ def dq_1d(qbc, auxbc, dt, dx, rp, params, lim_type, weno_order, index_capa,
 
 def dq_nd(qbc, auxbc, dt, deltas, rp, params, lim_type, weno_order,
           index_capa, num_ghost, tfluct=None, char_decomp=0, evec=None,
-          positivity=None):
+          positivity=None, backend="xla"):
     """Multi-dimensional MOL update: per-axis 1D sweeps accumulated
     (flux2.f90/flux3.f90 equivalent — no transverse solves needed).
 
@@ -130,7 +133,7 @@ def dq_nd(qbc, auxbc, dt, deltas, rp, params, lim_type, weno_order,
         dqd, cfld = dq_1d(qm, auxm, dt, deltas[d], rp, params, lim_type,
                           weno_order, index_capa, g, ixy=d, tfluct=tfluct,
                           char_decomp=char_decomp, evec=evec,
-                          positivity=positivity)
+                          positivity=positivity, backend=backend)
         dqd = jnp.moveaxis(dqd, -1, axis)
         # strip ghosts on the other axes
         sl = [slice(None)] * dqd.ndim

@@ -105,6 +105,7 @@ class SharpClawSolver(Solver):
         char_decomp = self.char_decomp
         evec = self.rp.evec
         positivity = self.rp.positivity
+        backend = self.backend
         if char_decomp and evec is None:
             raise ValueError(f"char_decomp={char_decomp} needs an evec hook "
                              f"on Riemann solver {self.rp.name}")
@@ -116,13 +117,15 @@ class SharpClawSolver(Solver):
                                        lim_type, weno_order, index_capa, g,
                                        tfluct=tfluct,
                                        char_decomp=char_decomp, evec=evec,
-                                       positivity=positivity)
+                                       positivity=positivity,
+                                       backend=backend)
             else:
                 d, cfl = kernels.dq_nd(qbc, auxbc, dt, deltas, rp, params,
                                        lim_type, weno_order, index_capa, g,
                                        tfluct=tfluct,
                                        char_decomp=char_decomp, evec=evec,
-                                       positivity=positivity)
+                                       positivity=positivity,
+                                       backend=backend)
             if dq_src is not None:
                 d = d + dt * dq_src(self, state, q, dt, t)
             return d, cfl
