@@ -380,6 +380,10 @@ def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
                     continue
                 half = 0.5 * (dt / deltas[d])
                 axis_e = 1 + e
+                f = 3 - d - e          # the third axis
+                axis_f = 1 + f
+                n_f = shape[f]
+                coeff2 = (dt * dt) / (6.0 * deltas[d] * deltas[e])
                 for imp, asdq in ((1, amdq), (2, apdq)):
                     bm, bp = rpt(d, imp, q_l, q_r, a_l, a_r, asdq, params,
                                  trans_axis=e)
@@ -396,6 +400,57 @@ def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
                     contrib = contrib.at[tuple(tgt)].add(-half * bm_s)
                     contrib = contrib.at[tuple(tgt)].add(-half * bp_s)
                     F[e] = F[e] + contrib
+
+                    # ---- double-transverse (rptt3): corner-of-corner
+                    # corrections into the third axis' fluxes.  Each
+                    # C-split contributes +coeff2 at its own e-row and
+                    # -coeff2 at the e-row it crosses into, so the
+                    # f-flux carries the (1 - S^-_e) difference that the
+                    # exact corner-transport expansion requires (verified
+                    # against the product-form advection oracle).
+                    if rptt is not None and transverse_waves >= 2:
+                        for b_part, e_dir in ((bm, -1), (bp, 1)):
+                            cm, cp = rptt(d, 2 + (f > e), imp, e_dir,
+                                          q_l, q_r, a_l, a_r, b_part,
+                                          params, trans_axis=f)
+                            # the b-part carries sign(v_e) but the exact
+                            # corner expansion needs |v_e|: flip for the
+                            # down-going (e_dir=-1) part
+                            sgn = float(e_dir)
+                            for c_part, f_off in ((cm, -1), (cp, 0)):
+                                # valid f-iface targets: own k + f_off in
+                                # [0, n_f-2]  -> slice source rows so the
+                                # scatter stays in-bounds (edge rows only
+                                # influence ghost updates)
+                                if f_off == -1:
+                                    cs = _slc(c_part, axis_f, slice(1, n_f))
+                                    fi = slice(0, n_f - 1)
+                                else:
+                                    cs = _slc(c_part, axis_f,
+                                              slice(0, n_f - 1))
+                                    fi = slice(0, n_f - 1)
+                                ctn = jnp.zeros_like(F[f])
+                                t2 = [slice(None)] * ctn.ndim
+                                t2[axis_d] = slice(i0, i0 + n_d - 1)
+                                t2[axis_f] = fi
+                                # + at the part's own e-row
+                                ctn = ctn.at[tuple(t2)].add(
+                                    sgn * coeff2 * cs)
+                                # - at the e-row it crosses into
+                                if e_dir > 0:
+                                    src_e = _slc(cs, axis_e,
+                                                 slice(0, n_e - 1))
+                                    t3 = list(t2)
+                                    t3[axis_e] = slice(1, n_e)
+                                    ctn = ctn.at[tuple(t3)].add(
+                                        -sgn * coeff2 * src_e)
+                                else:
+                                    src_e = _slc(cs, axis_e, slice(1, n_e))
+                                    t3 = list(t2)
+                                    t3[axis_e] = slice(0, n_e - 1)
+                                    ctn = ctn.at[tuple(t3)].add(
+                                        -sgn * coeff2 * src_e)
+                                F[f] = F[f] + ctn
 
     # ---- assemble update over cells 1..n-2 on every axis --------------
     def inner_cells(a):

@@ -190,15 +190,27 @@ class ClawSolver3D(ClawSolver):
 
     def __init__(self, riemann_solver=None):
         super().__init__(riemann_solver)
-        # Default to dimensional (Godunov) splitting: per-sweep TVD
-        # stability at CFL<=1.  The unsplit path currently implements only
-        # pairwise transverse terms; without the rptt3 double-transverse
-        # corrections 3D unsplit CTU is weakly unstable (Langseth & LeVeque
-        # JCP 2000), so use it only with a reduced CFL (~0.3).
-        self.dimensional_split = True
+        # Unsplit full corner-transport (rpt3 + rptt3 double-transverse)
+        # like the reference; stable to per-dim CFL 1 (the one-step
+        # product-form advection oracle in tests/test_ctu_exact.py pins
+        # the transverse index/coefficient algebra).  Solvers lacking an
+        # rptt hook must use dimensional_split=True (setup enforces this:
+        # pairwise-only transverse is weakly unstable in 3D — Langseth &
+        # LeVeque JCP 2000).
+        self.dimensional_split = False
         self.transverse_waves = 2
         self.cfl_max = 1.0
         self.cfl_desired = 0.9
+
+    def setup(self, solution):
+        if (not self.dimensional_split and self.transverse_waves >= 2
+                and self.rp is not None and self.rp.rptt is None):
+            raise ValueError(
+                f"Riemann solver {self.rp.name} has no rptt (double-"
+                "transverse) hook: 3D unsplit CTU would be unstable. "
+                "Set solver.dimensional_split = True or "
+                "transverse_waves < 2 with a reduced CFL.")
+        super().setup(solution)
 
     def _make_hyperbolic_step(self, state):
         rp = self.rp.rp

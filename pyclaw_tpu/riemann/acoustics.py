@@ -89,5 +89,15 @@ from . import RiemannSolver  # noqa: E402
 acoustics_1D = RiemannSolver("acoustics_1D", 1, 2, 2, _rp_acoustics)
 acoustics_2D = RiemannSolver("acoustics_2D", 2, 3, 2, _rp_acoustics,
                              rpt=_rpt_acoustics)
+def _rptt3_acoustics(ixy, icoor, imp, impt, q_l, q_r, aux_l, aux_r,
+                     bsasdq, params, trans_axis=None):
+    """Double-transverse acoustic split: same eigenstructure, applied
+    along the third axis (reference rptt3_acoustics)."""
+    if trans_axis is None:
+        trans_axis = (ixy + 2) % 3
+    return _rpt3_acoustics(ixy, imp, q_l, q_r, aux_l, aux_r, bsasdq,
+                           params, trans_axis=trans_axis)
+
+
 acoustics_3D = RiemannSolver("acoustics_3D", 3, 4, 2, _rp_acoustics,
-                             rpt=_rpt3_acoustics)
+                             rpt=_rpt3_acoustics, rptt=_rptt3_acoustics)

@@ -40,12 +40,13 @@ def _rpt_advection(ixy, imp, q_l, q_r, aux_l, aux_r, asdq, params,
 
 
 def _rptt_advection(ixy, icoor, imp, impt, q_l, q_r, aux_l, aux_r,
-                    bsasdq, params):
-    # double-transverse split in the third coordinate direction
+                    bsasdq, params, trans_axis=None):
+    # double-transverse split along `trans_axis` (the third coordinate)
     names = ("u", "v", "w")
-    # directions: ixy is normal; icoor selects which transverse axis (2 or 3)
-    other = [d for d in range(3) if d != ixy]
-    ut = params[names[other[icoor - 2]]] if icoor >= 2 else params[names[other[0]]]
+    if trans_axis is None:
+        trans_axis = [d for d in range(3) if d != ixy][icoor - 2] \
+            if icoor >= 2 else (ixy + 2) % 3
+    ut = params[names[trans_axis]]
     cmbsasdq = jnp.minimum(ut, 0.0) * bsasdq
     cpbsasdq = jnp.maximum(ut, 0.0) * bsasdq
     return cmbsasdq, cpbsasdq
