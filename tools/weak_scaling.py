@@ -1,0 +1,85 @@
+"""Weak-scaling measurement harness (BASELINE.json: cell-updates/s at
+1 chip -> 1 host -> N hosts; reference analog: the PetClaw SISC-2012
+scaling study).
+
+Fixes the per-device subgrid size and grows the mesh; reports
+cell-updates/s and parallel efficiency vs the 1-device run.  On this dev
+machine only 1 TPU chip exists, so the multi-device rows run on virtual
+CPU devices (communication-pattern validation, not a perf claim);
+on a pod slice the same script measures the real thing.
+
+    python tools/weak_scaling.py                 # real backend, 1 device
+    python tools/weak_scaling.py devices=8 cpu=1 # 8 virtual CPU devices
+"""
+
+import json
+import sys
+import time
+
+
+def main(local=512, nsteps=20, devices=None, cpu=0):
+    import os
+    if cpu:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + f" --xla_force_host_platform_device_count={devices or 8}")
+    import jax
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    import pyclaw_tpu as pyclaw
+    from pyclaw_tpu import parallel, riemann
+    from pyclaw_tpu.parallel.mesh import make_mesh
+
+    ndev_avail = len(jax.devices())
+    counts = []
+    n = 1
+    while n <= (devices or ndev_avail):
+        counts.append(n)
+        n *= 2
+
+    results = []
+    base_cups = None
+    for ndev in counts:
+        mesh = make_mesh(2, devices=jax.devices()[:ndev])
+        sx, sy = mesh.devices.shape
+        mx, my = local * sx, local * sy
+        solver = parallel.ClawSolver2D(riemann.euler_4wave_2D, mesh=mesh)
+        solver.all_bcs = pyclaw.BC.extrap
+        domain = pyclaw.Domain([0.0, 0.0], [1.0, 1.0], [mx, my])
+        state = pyclaw.State(domain, 4, dtype="float32" if not cpu
+                             else "float64")
+        state.problem_data["gamma"] = 1.4
+        state.q[0] = 1.0
+        state.q[3] = 2.5
+        solver.setup(pyclaw.Solution(state, domain))
+
+        q = jnp.asarray(state.q)
+        dt = 0.2 / mx
+        step = solver._step_fn
+        qq, cfl = step(q, None, dt, 0.0)
+        qq.block_until_ready()
+        t0 = time.perf_counter()
+        qq = q
+        for _ in range(nsteps):
+            qq, cfl = step(qq, None, dt, 0.0)
+        qq.block_until_ready()
+        el = time.perf_counter() - t0
+        cups = mx * my * nsteps / el
+        if base_cups is None:
+            base_cups = cups
+        eff = cups / (base_cups * ndev)
+        results.append({"devices": ndev, "grid": [mx, my],
+                        "cell_updates_per_sec": round(cups, 1),
+                        "efficiency_vs_1dev": round(eff, 4)})
+        print(json.dumps(results[-1]))
+    return results
+
+
+if __name__ == "__main__":
+    kwargs = {}
+    for arg in sys.argv[1:]:
+        k, v = arg.split("=")
+        kwargs[k] = int(v)
+    main(**kwargs)
