@@ -70,9 +70,21 @@ class Controller:
                                 file_format=self.output_format,
                                 file_prefix=self.file_prefix_p, write_p=True)
 
+    def _configure_logging(self):
+        """Wire verbosity to the named logger hierarchy (reference
+        log.config / SURVEY.md §5.5: pyclaw.controller / pyclaw.solver /
+        pyclaw.io loggers; level driven by controller.verbosity)."""
+        level = {0: logging.ERROR, 1: logging.WARNING, 2: logging.INFO,
+                 3: logging.INFO}.get(min(self.verbosity, 3), logging.DEBUG)
+        for name in ("pyclaw.controller", "pyclaw.solver", "pyclaw.io"):
+            logging.getLogger(name).setLevel(level)
+        if self.solver is not None:
+            self.solver.verbosity = self.verbosity
+
     def run(self):
         if self.solver is None or self.solution is None:
             raise ValueError("Controller needs solver and solution")
+        self._configure_logging()
         if not self.solver._is_set_up:
             self.solver.setup(self.solution)
 

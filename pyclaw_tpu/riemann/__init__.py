@@ -62,7 +62,8 @@ from .burgers import burgers_1D  # noqa: E402,F401
 from .euler import (euler_with_efix_1D, euler_roe_1D, euler_hlle_1D,  # noqa: E402,F401
                     euler_4wave_2D, euler_5wave_2D, euler_3D)
 from .shallow import (shallow_roe_with_efix_1D, shallow_hlle_1D,  # noqa: E402,F401
-                      shallow_roe_with_efix_2D)
+                      shallow_roe_with_efix_2D,
+                      shallow_bathymetry_fwave_1D)
 from .traffic import traffic_1D  # noqa: E402,F401
 from .kpp import kpp_2D  # noqa: E402,F401
 from .acoustics_var import (acoustics_variable_1D,  # noqa: E402,F401
@@ -78,4 +79,5 @@ ALL = {s.name: s for s in [
     euler_5wave_2D, euler_3D,
     shallow_roe_with_efix_1D, shallow_hlle_1D, shallow_roe_with_efix_2D,
     traffic_1D, kpp_2D, acoustics_variable_1D, vc_acoustics_2D, psystem_1D,
+    shallow_bathymetry_fwave_1D,
 ]}

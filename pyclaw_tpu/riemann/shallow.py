@@ -228,6 +228,47 @@ shallow_roe_with_efix_2D = RiemannSolver("shallow_roe_with_efix_2D", 2, 3, 3,
                                          requires=("grav",))
 
 
+def _rp1_shallow_bathymetry_fwave(ixy, q_l, q_r, aux_l, aux_r, params):
+    """Well-balanced f-wave solver for shallow water over bathymetry
+    (reference riemann shallow_bathymetry_fwave_1D / GeoClaw-style sw_aug;
+    SURVEY.md §2.8): aux[0] = b(x).  The flux jump is augmented with the
+    topography source g h_bar (b_r - b_l) and decomposed into f-waves at
+    the Roe speeds, so the lake-at-rest state (h + b = const, u = 0) has
+    ZERO fluctuations — exact discrete balance.  Use with
+    solver.fwave = True."""
+    g = params["grav"]
+    h_l, h_r = q_l[0], q_r[0]
+    hu_l, hu_r = q_l[1], q_r[1]
+    u_l, u_r = hu_l / h_l, hu_r / h_r
+    b_l, b_r = aux_l[0], aux_r[0]
+
+    sh_l, sh_r = jnp.sqrt(h_l), jnp.sqrt(h_r)
+    u = (sh_l * u_l + sh_r * u_r) / (sh_l + sh_r)
+    c = jnp.sqrt(g * 0.5 * (h_l + h_r))
+    s1 = jnp.minimum(u - c, u_l - jnp.sqrt(g * h_l))
+    s2 = jnp.maximum(u + c, u_r + jnp.sqrt(g * h_r))
+
+    hbar = 0.5 * (h_l + h_r)
+    fd1 = hu_r - hu_l
+    fd2 = (hu_r * u_r + 0.5 * g * h_r * h_r) \
+        - (hu_l * u_l + 0.5 * g * h_l * h_l) \
+        + g * hbar * (b_r - b_l)
+
+    denom = jnp.where(s2 - s1 == 0.0, 1.0, s2 - s1)
+    beta1 = (s2 * fd1 - fd2) / denom
+    beta2 = (fd2 - s1 * fd1) / denom
+
+    w1 = jnp.stack([beta1, beta1 * s1])
+    w2 = jnp.stack([beta2, beta2 * s2])
+    wave = jnp.stack([w1, w2], axis=1)
+    s = jnp.stack([s1, s2])
+    amdq = jnp.where(s1 < 0.0, w1, jnp.zeros_like(w1)) \
+        + jnp.where(s2 < 0.0, w2, jnp.zeros_like(w2))
+    apdq = jnp.where(s1 >= 0.0, w1, jnp.zeros_like(w1)) \
+        + jnp.where(s2 >= 0.0, w2, jnp.zeros_like(w2))
+    return wave, s, amdq, apdq
+
+
 def _shallow_positivity(q, aux, params):
     return q[0] > 0.0
 
@@ -235,3 +276,8 @@ def _shallow_positivity(q, aux, params):
 shallow_roe_with_efix_1D.positivity = _shallow_positivity
 shallow_hlle_1D.positivity = _shallow_positivity
 shallow_roe_with_efix_2D.positivity = _shallow_positivity
+
+shallow_bathymetry_fwave_1D = RiemannSolver(
+    "shallow_bathymetry_fwave_1D", 1, 2, 2, _rp1_shallow_bathymetry_fwave,
+    requires=("grav",))
+shallow_bathymetry_fwave_1D.positivity = _shallow_positivity

@@ -1,0 +1,67 @@
+"""Plot module smoke tests + misc API parity (gen_variants, verbosity,
+derived-quantity output)."""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+
+
+def test_html_plot(tmp_path):
+    import matplotlib
+    matplotlib.use("Agg")
+    from advection_1d import setup
+    claw = setup(nx=32, outdir=str(tmp_path))
+    claw.num_output_times = 2
+    claw.run()
+    from pyclaw_tpu import plot
+    plotdir = plot.html_plot(outdir=str(tmp_path))
+    files = os.listdir(plotdir)
+    assert "index.html" in files
+    assert sum(f.endswith(".png") for f in files) == 3
+
+
+def test_plot_frame_2d(tmp_path):
+    import matplotlib
+    matplotlib.use("Agg")
+    from acoustics_2d import setup
+    claw = setup(mx=16, my=16, outdir=None)
+    claw.run()
+    from pyclaw_tpu.plot import plot_frame
+    ax = plot_frame(claw.solution)
+    assert ax is not None
+
+
+def test_gen_variants():
+    from advection_1d import setup
+    from pyclaw_tpu.util import check_diff, gen_variants
+
+    def verify(claw):
+        x = claw.solution.domain.grid.x.centers
+        expected = np.exp(-100.0 * (np.minimum((x - 0.75) % 1.0,
+                                               1.0 - (x - 0.75) % 1.0)) ** 2)
+        return check_diff(expected, claw.solution.q[0], reltol=0.05)
+
+    tests = list(gen_variants(setup, verify, kernel_languages=("xla",),
+                              solver_type="classic", nx=64))
+    assert len(tests) == 1
+    for t in tests:
+        t()  # raises on failure
+
+
+def test_write_p_output(tmp_path):
+    """Derived-quantity output (compute_p / write_p; reference
+    controller.py p-output path)."""
+    from acoustics_1d import setup
+    claw = setup(nx=32, outdir=str(tmp_path))
+    claw.num_output_times = 1
+
+    def compute_p(state):
+        state.p = np.asarray(state.q[0:1]) ** 2
+
+    claw.compute_p = compute_p
+    claw.run()
+    files = os.listdir(tmp_path)
+    assert any(f.startswith("claw_p.q") for f in files), files
