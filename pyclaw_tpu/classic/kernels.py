@@ -82,8 +82,8 @@ def step1(q, aux, dt, dx, rp, params, mthlim, order, fwave, index_capa,
     q_new = q[..., 1:-1] - dtdx[..., 1:-1] * dq1
 
     if order == 2:
-        wave_lim = tvd.limit(num_eqn, wave, s, mthlim)
         dtdxave = 0.5 * (dtdx[..., :-1] + dtdx[..., 1:])
+        wave_lim = tvd.limit(num_eqn, wave, s, mthlim, dtdx=dtdxave)
         cqxx = _correction_flux(wave_lim, s, dtdxave, fwave)
         q_new = q_new - dtdx[..., 1:-1] * (cqxx[..., 1:] - cqxx[..., :-1])
 
@@ -150,15 +150,16 @@ def _sweep_normal(q, aux, ixy, rp, params, mthlim, order, fwave, dtdx_cells):
     dtdxave = None
     if order == 2:
         num_eqn = q.shape[0]
+        dtdxave = 0.5 * (lo(dtdx_cells[None])[0] + hi(dtdx_cells[None])[0])
         # limiter compares along the interface axis: move it last
         if axis != q.ndim - 1:
             wave_m = jnp.moveaxis(wave, 1 + axis, -1)
             s_m = jnp.moveaxis(s, axis, -1)
-            wave_lim = tvd.limit(num_eqn, wave_m, s_m, mthlim)
+            dtdx_m = jnp.moveaxis(dtdxave, axis - 1, -1)
+            wave_lim = tvd.limit(num_eqn, wave_m, s_m, mthlim, dtdx=dtdx_m)
             wave_lim = jnp.moveaxis(wave_lim, -1, 1 + axis)
         else:
-            wave_lim = tvd.limit(num_eqn, wave, s, mthlim)
-        dtdxave = 0.5 * (lo(dtdx_cells[None])[0] + hi(dtdx_cells[None])[0])
+            wave_lim = tvd.limit(num_eqn, wave, s, mthlim, dtdx=dtdxave)
         cqxx = _correction_flux(wave_lim, s, dtdxave, fwave)
     return wave, s, amdq, apdq, cqxx, dtdxave
 

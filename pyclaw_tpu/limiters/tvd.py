@@ -59,8 +59,35 @@ def _phi(limiter_id, theta):
         # sharpened variant: phi = max(0, min(2, 2t, vl-sharp)); keep the
         # standard Klein form (reference tvd.py :~):
         return jnp.maximum(phi_vl, jnp.minimum(1.0, 2.0 * jnp.maximum(0.0, t)))
-    raise NotImplementedError(f"limiter id {limiter_id} not ported yet "
-                              "(CFL-dependent limiters land in a later round)")
+    if limiter_id == 17:   # upper-bound minmod
+        return jnp.maximum(0.0, jnp.minimum(2.0, jnp.minimum(2.0 * t,
+                                                             (1.0 + t) / 2.0)))
+    if limiter_id == 19:   # Cada-Torrilhon 2009 (simple rational form)
+        base = (2.0 + t) / 3.0
+        return jnp.maximum(0.0, jnp.minimum(
+            base, jnp.maximum(-0.5 * t,
+                              jnp.minimum(2.0 * t,
+                                          jnp.minimum(base, 1.6)))))
+    raise NotImplementedError(f"limiter id {limiter_id} not ported yet")
+
+
+def _phi_cfl(limiter_id, theta, nu):
+    """CFL-dependent limiters (reference tvd.py ids 10+): phi(theta, nu)
+    with nu = |s| dt/dx at the interface, clipped away from 0 and 1."""
+    t = theta
+    nu = jnp.clip(nu, 1e-8, 1.0 - 1e-8)
+    if limiter_id == 10:   # cfl_superbee (Roe's Ultrabee)
+        return jnp.maximum(0.0, jnp.minimum(2.0 / (1.0 - nu),
+                                            2.0 * t / nu))
+    if limiter_id == 13:   # cfl_minmod (CFL-sharpened minmod)
+        return jnp.maximum(0.0, jnp.minimum(
+            jnp.minimum(2.0 / (1.0 - nu), 2.0 * t / nu),
+            0.5 * (1.0 + t)))
+    raise NotImplementedError(f"CFL-dependent limiter id {limiter_id} "
+                              "not ported yet")
+
+
+CFL_LIMITER_IDS = (10, 13)
 
 
 def limit(num_eqn, wave, s, limiter_ids, dtdx=None):
@@ -90,7 +117,14 @@ def limit(num_eqn, wave, s, limiter_ids, dtdx=None):
         if lid == 0:
             out.append(wave[:, p])
         else:
-            phi = _phi(int(lid), theta[p])
+            if int(lid) in CFL_LIMITER_IDS:
+                if dtdx is None:
+                    raise ValueError(f"limiter id {lid} is CFL-dependent "
+                                     "and needs dtdx")
+                nu = jnp.abs(s[p]) * dtdx
+                phi = _phi_cfl(int(lid), theta[p], nu)
+            else:
+                phi = _phi(int(lid), theta[p])
             phi = jnp.where(safe[p], phi, 1.0)
             out.append(wave[:, p] * phi[None])
     return jnp.stack(out, axis=1)

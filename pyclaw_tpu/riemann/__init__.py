@@ -69,6 +69,7 @@ from .kpp import kpp_2D  # noqa: E402,F401
 from .acoustics_var import (acoustics_variable_1D,  # noqa: E402,F401
                             vc_acoustics_2D)
 from .psystem import psystem_1D  # noqa: E402,F401
+from .psystem2d import psystem_2D  # noqa: E402,F401
 
 ALL = {s.name: s for s in [
     advection_1D, advection_2D, advection_3D, vc_advection_1D,
@@ -79,5 +80,5 @@ ALL = {s.name: s for s in [
     euler_5wave_2D, euler_3D,
     shallow_roe_with_efix_1D, shallow_hlle_1D, shallow_roe_with_efix_2D,
     traffic_1D, kpp_2D, acoustics_variable_1D, vc_acoustics_2D, psystem_1D,
-    shallow_bathymetry_fwave_1D,
+    shallow_bathymetry_fwave_1D, psystem_2D,
 ]}

@@ -125,3 +125,24 @@ def test_kpp_rotating_wave():
     # bounds preserved (LLF is monotone)
     assert q.max() <= 3.5 * np.pi + 1e-6
     assert q.min() >= 0.25 * np.pi - 1e-6
+
+
+def test_psystem_2d_gauges():
+    """2D p-system radial pulse: finite, symmetric, and the gauge at
+    r=0.5 records the outgoing wave passing (reference psystem_2d gauges
+    usage)."""
+    from psystem_2d import setup
+    claw = setup(mx=60, my=60, outdir=None)
+    claw.run()
+    q = claw.solution.q
+    assert np.all(np.isfinite(q))
+    # x<->y symmetry of the radial problem (dimensional splitting breaks
+    # it only at the splitting-error level)
+    asym = np.mean(np.abs(q[0] - q[0].T)) / (np.mean(np.abs(q[0])) + 1e-15)
+    assert asym < 0.05, asym
+    data = claw.solution.state.gauge_data
+    assert len(data) == 2 * claw.solver.status["numsteps"]
+    g0 = np.array([v[0] for (num, t, v) in data if num == 0])
+    # the strain wave reaches r=0.5 and passes: gauge series is non-trivial
+    assert g0.max() > 0.02
+    assert abs(g0[-1]) < g0.max() / 2.0
