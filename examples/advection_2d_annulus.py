@@ -16,10 +16,15 @@ def mapc2p(grid, r, theta):
 
 
 def setup(mr=40, mth=120, omega=1.0, kernel_language="xla",
-          outdir="./_output"):
-    solver = pyclaw.ClawSolver2D(riemann.vc_advection_fwave_1D)
-    # vc solver has no transverse splitter: dimensional (Godunov) split
-    solver.dimensional_split = True
+          dimensional_split=True, outdir="./_output"):
+    if dimensional_split:
+        solver = pyclaw.ClawSolver2D(riemann.vc_advection_fwave_1D)
+        solver.dimensional_split = True
+    else:
+        # unsplit CTU: rpt2_vc_advection-equivalent transverse splitter +
+        # capacity-scaled corner-transport coefficients
+        solver = pyclaw.ClawSolver2D(riemann.vc_advection_fwave_2D)
+        solver.dimensional_split = False
     solver.fwave = True
     solver.limiters = [pyclaw.limiters.tvd.MC]
     solver.backend = kernel_language

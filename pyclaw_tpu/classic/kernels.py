@@ -234,12 +234,15 @@ def step2(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order, fwave,
         bm_am, bp_am = rpt(0, 1, qx_l, qx_r, auxx_l, auxx_r, amdqx, params)
         bm_ap, bp_ap = rpt(0, 2, qx_l, qx_r, auxx_l, auxx_r, apdqx, params)
 
-        # G~_{i-1, j-1/2} -= dt/(2 dx) B-A-ΔQ_{i-1/2,j}
-        # G~_{i-1, j+1/2} -= dt/(2 dx) B+A-ΔQ_{i-1/2,j}
-        # G~_{i,   j-1/2} -= dt/(2 dx) B-A+ΔQ_{i-1/2,j}
-        # G~_{i,   j+1/2} -= dt/(2 dx) B+A+ΔQ_{i-1/2,j}
-        # Gy has shape (num_eqn, nx, ny-1): entry (i, jint) = G~_{i, jint+1/2}.
-        # x-interface k (0..nx-2) lies between cells k (i-1 role) and k+1 (i).
+        # G~_{i-1, j-1/2} -= dt/(2 dx κ) B-A-ΔQ_{i-1/2,j}
+        # G~_{i-1, j+1/2} -= dt/(2 dx κ) B+A-ΔQ_{i-1/2,j}
+        # G~_{i,   j-1/2} -= dt/(2 dx κ) B-A+ΔQ_{i-1/2,j}
+        # G~_{i,   j+1/2} -= dt/(2 dx κ) B+A+ΔQ_{i-1/2,j}
+        # κ is the capacity of the receiving cell (i1, j) — reference
+        # flux2.f90 uses dtdx1d(i1) = dtdx/aux(i1,j,mcapa) in the gadd
+        # updates.  Gy has shape (num_eqn, nx, ny-1): entry (i, jint) =
+        # G~_{i, jint+1/2}.  x-interface k (0..nx-2) lies between cells k
+        # (i-1 role) and k+1 (i).
         half_dtdx = 0.5 * (dt / dx)
         # contribution arrays indexed by x-interface k and cell j:
         # map to Gy[i, jint]:  jint = j-1 ("below") or j ("above").
@@ -251,12 +254,17 @@ def step2(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order, fwave,
             num_e, nxm1, nyc = bm.shape
             contrib = jnp.zeros_like(G)  # (num_eqn, nx, ny-1)
             i0 = k_to_cell_offset
+            if capa is None:
+                c_lo = c_hi = half_dtdx
+            else:   # per-receiving-cell coefficient (rows match the source)
+                c_lo = 0.5 * dtdx[None, i0:i0 + nxm1, 1:]
+                c_hi = 0.5 * dtdx[None, i0:i0 + nxm1, :-1]
             # below-going: G[:, i, j-1] for j in [1, ny-1] -> Gy index j-1
             contrib = contrib.at[:, i0:i0 + nxm1, :].add(
-                -half_dtdx * bm[:, :, 1:])
+                -c_lo * bm[:, :, 1:])
             # above-going: G[:, i, j] for j in [0, ny-2]
             contrib = contrib.at[:, i0:i0 + nxm1, :].add(
-                -half_dtdx * bp[:, :, :-1])
+                -c_hi * bp[:, :, :-1])
             return contrib
 
         Gy = Gy + scatter_transverse(Gy, bm_am, bp_am, 0)
@@ -276,10 +284,15 @@ def step2(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order, fwave,
             num_e, nxc, nym1 = am.shape
             contrib = jnp.zeros_like(F)  # (num_eqn, nx-1, ny)
             j0 = k_to_cell_offset
+            if capa is None:
+                c_lo = c_hi = half_dtdy
+            else:
+                c_lo = 0.5 * dtdy[None, 1:, j0:j0 + nym1]
+                c_hi = 0.5 * dtdy[None, :-1, j0:j0 + nym1]
             contrib = contrib.at[:, :, j0:j0 + nym1].add(
-                -half_dtdy * am[:, 1:, :])
+                -c_lo * am[:, 1:, :])
             contrib = contrib.at[:, :, j0:j0 + nym1].add(
-                -half_dtdy * ap[:, :-1, :])
+                -c_hi * ap[:, :-1, :])
             return contrib
 
         Fx = Fx + scatter_transverse_y(Fx, am_bm, ap_bm, 0)
@@ -396,10 +409,18 @@ def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
                     # (axis e)] -= half*bm   for cells j in [1, n_e-1]
                     bm_s = _slc(bm, axis_e, slice(1, n_e))
                     bp_s = _slc(bp, axis_e, slice(0, n_e - 1))
+                    if capa is None:
+                        c_bm = c_bp = half
+                        co2_full = None
+                    else:   # κ of the receiving cell (flux3.f90 dtdx1d(i1))
+                        dd = _slc(dtdx_cells[d], d, slice(i0, i0 + n_d - 1))
+                        c_bm = 0.5 * _slc(dd, e, slice(1, n_e))[None]
+                        c_bp = 0.5 * _slc(dd, e, slice(0, n_e - 1))[None]
+                        co2_full = (dt / (6.0 * deltas[e])) * dd
                     tgt = [slice(None)] * contrib.ndim
                     tgt[axis_d] = slice(i0, i0 + n_d - 1)
-                    contrib = contrib.at[tuple(tgt)].add(-half * bm_s)
-                    contrib = contrib.at[tuple(tgt)].add(-half * bp_s)
+                    contrib = contrib.at[tuple(tgt)].add(-c_bm * bm_s)
+                    contrib = contrib.at[tuple(tgt)].add(-c_bp * bp_s)
                     F[e] = F[e] + contrib
 
                     # ---- double-transverse (rptt3): corner-of-corner
@@ -424,33 +445,37 @@ def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
                                 # scatter stays in-bounds (edge rows only
                                 # influence ghost updates)
                                 if f_off == -1:
-                                    cs = _slc(c_part, axis_f, slice(1, n_f))
+                                    f_src = slice(1, n_f)
                                     fi = slice(0, n_f - 1)
                                 else:
-                                    cs = _slc(c_part, axis_f,
-                                              slice(0, n_f - 1))
+                                    f_src = slice(0, n_f - 1)
                                     fi = slice(0, n_f - 1)
+                                cs = _slc(c_part, axis_f, f_src)
+                                if co2_full is None:
+                                    co_cs = coeff2
+                                else:   # κ-scaled, sliced like cs
+                                    co_cs = _slc(co2_full, f, f_src)[None]
                                 ctn = jnp.zeros_like(F[f])
                                 t2 = [slice(None)] * ctn.ndim
                                 t2[axis_d] = slice(i0, i0 + n_d - 1)
                                 t2[axis_f] = fi
                                 # + at the part's own e-row
                                 ctn = ctn.at[tuple(t2)].add(
-                                    sgn * coeff2 * cs)
+                                    sgn * co_cs * cs)
                                 # - at the e-row it crosses into
                                 if e_dir > 0:
-                                    src_e = _slc(cs, axis_e,
-                                                 slice(0, n_e - 1))
-                                    t3 = list(t2)
-                                    t3[axis_e] = slice(1, n_e)
-                                    ctn = ctn.at[tuple(t3)].add(
-                                        -sgn * coeff2 * src_e)
+                                    e_src = slice(0, n_e - 1)
+                                    e_tgt = slice(1, n_e)
                                 else:
-                                    src_e = _slc(cs, axis_e, slice(1, n_e))
-                                    t3 = list(t2)
-                                    t3[axis_e] = slice(0, n_e - 1)
-                                    ctn = ctn.at[tuple(t3)].add(
-                                        -sgn * coeff2 * src_e)
+                                    e_src = slice(1, n_e)
+                                    e_tgt = slice(0, n_e - 1)
+                                src_e = _slc(cs, axis_e, e_src)
+                                co_e = (co_cs if co2_full is None
+                                        else _slc(co_cs, 1 + e, e_src))
+                                t3 = list(t2)
+                                t3[axis_e] = e_tgt
+                                ctn = ctn.at[tuple(t3)].add(
+                                    -sgn * co_e * src_e)
                                 F[f] = F[f] + ctn
 
     # ---- assemble update over cells 1..n-2 on every axis --------------

@@ -56,7 +56,7 @@ class RiemannSolver:
 
 from .advection import (advection_1D, advection_2D, advection_3D,  # noqa: E402,F401
                         vc_advection_1D, vc_advection_2D,
-                        vc_advection_fwave_1D)
+                        vc_advection_fwave_1D, vc_advection_fwave_2D)
 from .acoustics import acoustics_1D, acoustics_2D, acoustics_3D  # noqa: E402,F401
 from .burgers import burgers_1D  # noqa: E402,F401
 from .euler import (euler_with_efix_1D, euler_roe_1D, euler_hlle_1D,  # noqa: E402,F401
@@ -73,7 +73,7 @@ from .psystem2d import psystem_2D  # noqa: E402,F401
 
 ALL = {s.name: s for s in [
     advection_1D, advection_2D, advection_3D, vc_advection_1D,
-    vc_advection_2D, vc_advection_fwave_1D,
+    vc_advection_2D, vc_advection_fwave_1D, vc_advection_fwave_2D,
     acoustics_1D, acoustics_2D, acoustics_3D,
     burgers_1D,
     euler_with_efix_1D, euler_roe_1D, euler_hlle_1D, euler_4wave_2D,

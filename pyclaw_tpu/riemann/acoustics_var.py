@@ -38,12 +38,47 @@ def _rp_acoustics_var(ixy, q_l, q_r, aux_l, aux_r, params):
     return wave, s, amdq, apdq
 
 
+def _rpt_acoustics_var(ixy, imp, q_l, q_r, aux_l, aux_r, asdq, params,
+                       trans_axis=None):
+    """Heterogeneous-media transverse splitter (reference
+    rpt2_vc_acoustics.f90): the fluctuation entering cell i1 (= left cell
+    for imp=1, right for imp=2) is decomposed against the impedances of
+    the transverse-neighbour cells — the down-going wave crosses into the
+    cell below (impedance Z_below, speed c_below), the up-going into the
+    cell above:
+
+        a1 = (-dp + Z dv) / (Z + Z_below),   bmasdq = -c_below a1 (-Z_below, 0, 1)
+        a2 = ( dp + Z dv) / (Z + Z_above),   bpasdq =  c_above a2 ( Z_above, 0, 1)
+
+    aux arrays are sliced only along the normal axis, so the transverse
+    neighbours are plain shifts; the wrapped edge rows are never read by
+    the transverse scatter (it drops the first/last transverse row).
+    """
+    if trans_axis is None:
+        trans_axis = 1 - ixy
+    mv = 1 + trans_axis
+    aux_c = aux_l if imp == 1 else aux_r
+    z_c = aux_c[0]
+    z_below = jnp.roll(z_c, 1, axis=trans_axis)
+    z_above = jnp.roll(z_c, -1, axis=trans_axis)
+    c_below = jnp.roll(aux_c[1], 1, axis=trans_axis)
+    c_above = jnp.roll(aux_c[1], -1, axis=trans_axis)
+
+    a1 = (-asdq[0] + z_c * asdq[mv]) / (z_c + z_below)
+    a2 = (asdq[0] + z_c * asdq[mv]) / (z_c + z_above)
+
+    bmasdq = jnp.zeros_like(asdq)
+    bmasdq = bmasdq.at[0].set(c_below * a1 * z_below)
+    bmasdq = bmasdq.at[mv].set(-c_below * a1)
+    bpasdq = jnp.zeros_like(asdq)
+    bpasdq = bpasdq.at[0].set(c_above * a2 * z_above)
+    bpasdq = bpasdq.at[mv].set(c_above * a2)
+    return bmasdq, bpasdq
+
+
 from . import RiemannSolver  # noqa: E402
 
 acoustics_variable_1D = RiemannSolver("acoustics_variable_1D", 1, 2, 2,
                                       _rp_acoustics_var)
-# 2D heterogeneous acoustics: normal solver only — the vc transverse solve
-# needs aux rows of the adjacent pencils (use dimensional splitting or
-# transverse_waves=0)
 vc_acoustics_2D = RiemannSolver("vc_acoustics_2D", 2, 3, 2,
-                                _rp_acoustics_var)
+                                _rp_acoustics_var, rpt=_rpt_acoustics_var)

@@ -52,6 +52,27 @@ def _rptt_advection(ixy, icoor, imp, impt, q_l, q_r, aux_l, aux_r,
     return cmbsasdq, cpbsasdq
 
 
+def _rpt_vc_advection(ixy, imp, q_l, q_r, aux_l, aux_r, asdq, params,
+                      trans_axis=None):
+    """Variable-coefficient transverse splitter (reference
+    rpt2_vc_advection.f90): the fluctuation entering cell i1 (left cell for
+    imp=1, right for imp=2) is split by the transverse EDGE velocities of
+    that cell — aux[kv] at its lower transverse edge for the down-going
+    part, and the next cell's aux[kv] (its upper edge) for the up-going
+    part.  The aux arrays passed in are sliced only along the normal axis,
+    so the transverse neighbours are plain shifts; the wrapped edge rows
+    are never read by the scatter (it drops the first/last transverse row).
+    """
+    if trans_axis is None:
+        trans_axis = 1 - ixy
+    aux_c = aux_l if imp == 1 else aux_r
+    v_lo = aux_c[trans_axis]                       # receiving cell's lower edge
+    v_hi = jnp.roll(v_lo, -1, axis=trans_axis)     # its upper edge
+    bmasdq = jnp.minimum(v_lo, 0.0) * asdq
+    bpasdq = jnp.maximum(v_hi, 0.0) * asdq
+    return bmasdq, bpasdq
+
+
 def _rp_vc_advection(ixy, q_l, q_r, aux_l, aux_r, params):
     """Variable-coefficient COLOR-equation advection q_t + u(x) q_x = 0:
     aux[ixy] holds the edge velocity at each cell's lower interface
@@ -89,7 +110,8 @@ advection_3D = RiemannSolver("advection_3D", 3, 1, 1, _rp_advection,
 vc_advection_1D = RiemannSolver("vc_advection_1D", 1, 1, 1, _rp_vc_advection)
 vc_advection_fwave_1D = RiemannSolver("vc_advection_fwave_1D", 1, 1, 1,
                                       _rp_vc_advection_fwave)
-# 2D variable-coefficient advection: normal solver only (use
-# transverse_waves=0 / dimensional splitting; the aux-row plumbing for the
-# vc transverse solver lands with the mapped-grid milestone)
-vc_advection_2D = RiemannSolver("vc_advection_2D", 2, 1, 1, _rp_vc_advection)
+vc_advection_2D = RiemannSolver("vc_advection_2D", 2, 1, 1, _rp_vc_advection,
+                                rpt=_rpt_vc_advection)
+vc_advection_fwave_2D = RiemannSolver("vc_advection_fwave_2D", 2, 1, 1,
+                                      _rp_vc_advection_fwave,
+                                      rpt=_rpt_vc_advection)
