@@ -210,10 +210,24 @@ def weno(order, q):
     if order % 2 == 0 or order < 3:
         raise ValueError("WENO order must be odd >= 3")
     k = (order + 1) // 2
+    shifts = [_shift(q, m) for m in range(-k + 1, k)]
+    return weno_stencil(order, shifts)
+
+
+def weno_stencil(order, shifts):
+    """Generic-order WENO edge values from explicit per-cell stencil
+    arrays ``shifts[m+k-1] = v_{i+m}`` for m in [-k+1, k-1] (used by the
+    characteristic-decomposition path, where the stencil values are
+    projections onto the target cell's eigenvectors — reference
+    weno.f90 weno5_char and friends)."""
+    if order == 5:
+        return weno5_stencil(*shifts)
+    k = (order + 1) // 2
+    if len(shifts) != 2 * k - 1:
+        raise ValueError(f"weno_stencil(order={order}) needs {2 * k - 1} "
+                         f"stencil arrays, got {len(shifts)}")
     c_right, c_left, d_right, d_left, B = (
         [np.asarray(a) for a in _weno_tables(k)])
-
-    shifts = [_shift(q, m) for m in range(-k + 1, k)]  # index m+k-1 = cell offset m
 
     def edge(c_tab, d_tab):
         num = 0.0

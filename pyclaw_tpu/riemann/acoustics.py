@@ -84,11 +84,38 @@ def _rpt3_acoustics(ixy, imp, q_l, q_r, aux_l, aux_r, asdq, params,
     return bmasdq, bpasdq
 
 
+def _evec_acoustics(ixy, q, aux, params):
+    """Eigenvector matrices of the acoustics flux Jacobian along axis
+    `ixy` (reference sharpclaw evec hook; char_decomp): acoustic waves
+    (-Z, e_mu) / (+Z, e_mu), shear components pass through unchanged."""
+    import numpy as np
+    zz, cc = _zc(params)
+    n = q.shape[0]
+    mu = 1 + ixy
+    R = np.eye(n)
+    L = np.eye(n)
+    # column 0: left-going wave; column n-1: right-going wave
+    R[:, 0] = 0.0
+    R[:, n - 1] = 0.0
+    R[0, 0], R[mu, 0] = -zz, 1.0
+    R[0, n - 1], R[mu, n - 1] = zz, 1.0
+    # shear components occupy the middle columns
+    shear = [j for j in range(1, n) if j != mu]
+    for col, j in zip(range(1, n - 1), shear):
+        R[:, col] = 0.0
+        R[j, col] = 1.0
+    L[:] = np.linalg.inv(R)
+    dtype = q.dtype
+    return jnp.asarray(R, dtype=dtype), jnp.asarray(L, dtype=dtype)
+
+
 from . import RiemannSolver  # noqa: E402
 
 acoustics_1D = RiemannSolver("acoustics_1D", 1, 2, 2, _rp_acoustics)
+acoustics_1D.evec = _evec_acoustics
 acoustics_2D = RiemannSolver("acoustics_2D", 2, 3, 2, _rp_acoustics,
                              rpt=_rpt_acoustics)
+acoustics_2D.evec = _evec_acoustics
 def _rptt3_acoustics(ixy, icoor, imp, impt, q_l, q_r, aux_l, aux_r,
                      bsasdq, params, trans_axis=None):
     """Double-transverse acoustic split: same eigenstructure, applied
@@ -101,3 +128,4 @@ def _rptt3_acoustics(ixy, icoor, imp, impt, q_l, q_r, aux_l, aux_r,
 
 acoustics_3D = RiemannSolver("acoustics_3D", 3, 4, 2, _rp_acoustics,
                              rpt=_rpt3_acoustics, rptt=_rptt3_acoustics)
+acoustics_3D.evec = _evec_acoustics

@@ -76,9 +76,32 @@ def _rpt_acoustics_var(ixy, imp, q_l, q_r, aux_l, aux_r, asdq, params,
     return bmasdq, bpasdq
 
 
+def _evec_acoustics_var(ixy, q, aux, params):
+    """Per-cell eigenvector matrices for heterogeneous acoustics
+    (char_decomp with spatially-varying impedance aux[0])."""
+    z = aux[0]
+    num_eqn = q.shape[0]
+    mu = 1 + ixy
+    one = jnp.ones_like(z)
+    shape = (num_eqn, num_eqn) + z.shape
+    R = jnp.zeros(shape, dtype=q.dtype)
+    L = jnp.zeros(shape, dtype=q.dtype)
+    R = R.at[0, 0].set(-z).at[mu, 0].set(one)
+    R = R.at[0, num_eqn - 1].set(z).at[mu, num_eqn - 1].set(one)
+    L = L.at[0, 0].set(-0.5 / z).at[0, mu].set(0.5 * one)
+    L = L.at[num_eqn - 1, 0].set(0.5 / z).at[num_eqn - 1, mu].set(0.5 * one)
+    shear = [j for j in range(1, num_eqn) if j != mu]
+    for k, j in zip(range(1, num_eqn - 1), shear):
+        R = R.at[j, k].set(one)
+        L = L.at[k, j].set(one)
+    return R, L
+
+
 from . import RiemannSolver  # noqa: E402
 
 acoustics_variable_1D = RiemannSolver("acoustics_variable_1D", 1, 2, 2,
                                       _rp_acoustics_var)
+acoustics_variable_1D.evec = _evec_acoustics_var
 vc_acoustics_2D = RiemannSolver("vc_acoustics_2D", 2, 3, 2,
                                 _rp_acoustics_var, rpt=_rpt_acoustics_var)
+vc_acoustics_2D.evec = _evec_acoustics_var

@@ -438,6 +438,68 @@ def _evec_euler_1d(ixy, q, aux, params):
     return R, L
 
 
+def _evec_euler_nd(ixy, q, aux, params):
+    """Eigenvector matrices of the multi-D Euler Jacobian along axis
+    `ixy` at each cell state (sharpclaw evec hook; char_decomp for the
+    2D 4-wave and 3D solvers).  Ordering of the characteristic fields:
+    (u-a, entropy, shear(s), u+a)."""
+    gamma = params["gamma"]
+    g1 = gamma - 1.0
+    num_eqn = q.shape[0]
+    e_idx = num_eqn - 1
+    vel_idx = list(range(1, num_eqn - 1))
+    mu = 1 + ixy
+    trans = [i for i in vel_idx if i != mu]
+    rho = q[0]
+    E = q[e_idx]
+    vels = {i: q[i] / rho for i in vel_idx}
+    un = vels[mu]
+    V2 = sum(v * v for v in vels.values())
+    p = g1 * (E - 0.5 * rho * V2)
+    a = jnp.sqrt(gamma * p / rho)
+    H = (E + p) / rho
+    b1 = g1 / (a * a)
+    b2 = 0.5 * b1 * V2
+    one = jnp.ones_like(un)
+
+    shape = (num_eqn, num_eqn) + un.shape
+    R = jnp.zeros(shape, dtype=q.dtype)
+    L = jnp.zeros(shape, dtype=q.dtype)
+
+    # acoustic columns 0 (u-a) and num_eqn-1 (u+a)
+    for col, sgn in ((0, -1.0), (num_eqn - 1, 1.0)):
+        R = R.at[0, col].set(one)
+        R = R.at[mu, col].set(un + sgn * a)
+        for i in trans:
+            R = R.at[i, col].set(vels[i])
+        R = R.at[e_idx, col].set(H + sgn * un * a)
+    # entropy column 1
+    R = R.at[0, 1].set(one)
+    for i in vel_idx:
+        R = R.at[i, 1].set(vels[i])
+    R = R.at[e_idx, 1].set(0.5 * V2)
+    # shear columns: one per transverse momentum
+    for col, i in zip(range(2, num_eqn - 1), trans):
+        R = R.at[i, col].set(one)
+        R = R.at[e_idx, col].set(vels[i])
+
+    # left eigenvectors (analytic inverse)
+    for row, sgn in ((0, -1.0), (num_eqn - 1, 1.0)):
+        L = L.at[row, 0].set(0.5 * (b2 - sgn * un / a))
+        L = L.at[row, mu].set(-0.5 * (b1 * un - sgn / a))
+        for i in trans:
+            L = L.at[row, i].set(-0.5 * b1 * vels[i])
+        L = L.at[row, e_idx].set(0.5 * b1)
+    L = L.at[1, 0].set(1.0 - b2)
+    for i in vel_idx:
+        L = L.at[1, i].set(b1 * vels[i])
+    L = L.at[1, e_idx].set(-b1)
+    for row, i in zip(range(2, num_eqn - 1), trans):
+        L = L.at[row, 0].set(-vels[i])
+        L = L.at[row, i].set(one)
+    return R, L
+
+
 def _make_euler_positivity(vel_idx, e_idx):
     def positivity(q, aux, params):
         rho = q[0]
@@ -472,5 +534,7 @@ euler_3D = RiemannSolver("euler_3D", 3, 5, 5, _rpn3_euler,
 
 euler_hlle_1D.positivity = _make_euler_positivity((1,), 2)
 euler_4wave_2D.positivity = _make_euler_positivity((1, 2), 3)
+euler_4wave_2D.evec = _evec_euler_nd
+euler_3D.evec = _evec_euler_nd
 euler_5wave_2D.positivity = _make_euler_positivity((1, 2), 3)
 euler_3D.positivity = _make_euler_positivity((1, 2, 3), 4)

@@ -215,17 +215,56 @@ def _rpt2_shallow_roe(ixy, imp, q_l, q_r, aux_l, aux_r, asdq, params):
     return bmasdq, bpasdq
 
 
+def _evec_shallow(ixy, q, aux, params):
+    """Eigenvector matrices of the shallow-water Jacobian at each cell
+    state (sharpclaw evec hook for char_decomp).  1D: (h, hu); 2D:
+    (h, hu, hv) with the transverse momentum riding the u-eigenvalue
+    contact."""
+    g = params["grav"]
+    h = q[0]
+    c = jnp.sqrt(g * h)
+    num_eqn = q.shape[0]
+    if num_eqn == 2:
+        u = q[1] / h
+        one = jnp.ones_like(u)
+        R = jnp.stack([jnp.stack([one, one]),
+                       jnp.stack([u - c, u + c])])
+        inv2c = 0.5 / c
+        L = jnp.stack([jnp.stack([(u + c) * inv2c, -one * inv2c]),
+                       jnp.stack([-(u - c) * inv2c, one * inv2c])])
+        return R, L
+    mu = 1 + ixy
+    mv = 2 - ixy
+    un = q[mu] / h
+    ut = q[mv] / h
+    one = jnp.ones_like(un)
+    inv2c = 0.5 / c
+    shape = (3, 3) + un.shape
+    R = jnp.zeros(shape, dtype=q.dtype)
+    R = R.at[0, 0].set(one).at[mu, 0].set(un - c).at[mv, 0].set(ut)
+    R = R.at[mv, 1].set(one)
+    R = R.at[0, 2].set(one).at[mu, 2].set(un + c).at[mv, 2].set(ut)
+    L = jnp.zeros(shape, dtype=q.dtype)
+    L = L.at[0, 0].set((un + c) * inv2c).at[0, mu].set(-inv2c)
+    L = L.at[1, 0].set(-ut).at[1, mv].set(one)
+    L = L.at[2, 0].set(-(un - c) * inv2c).at[2, mu].set(inv2c)
+    return R, L
+
+
 from . import RiemannSolver  # noqa: E402
 
 shallow_roe_with_efix_1D = RiemannSolver("shallow_roe_with_efix_1D", 1, 2, 2,
                                          _rp1_shallow_with_efix,
                                          requires=("grav",))
+shallow_roe_with_efix_1D.evec = _evec_shallow
 shallow_hlle_1D = RiemannSolver("shallow_hlle_1D", 1, 2, 2,
                                 _rp1_shallow_hlle, requires=("grav",))
+shallow_hlle_1D.evec = _evec_shallow
 shallow_roe_with_efix_2D = RiemannSolver("shallow_roe_with_efix_2D", 2, 3, 3,
                                          _rpn2_shallow_roe,
                                          rpt=_rpt2_shallow_roe,
                                          requires=("grav",))
+shallow_roe_with_efix_2D.evec = _evec_shallow
 
 
 def _rp1_shallow_bathymetry_fwave(ixy, q_l, q_r, aux_l, aux_r, params):

@@ -43,16 +43,14 @@ def _recon(qbc, lim_type, weno_order, tvd_limiter=4, backend="xla"):
 
 def _recon_char(qbc, auxbc, params, evec, ixy, weno_order):
     """Characteristic-wise WENO reconstruction (reference weno5_char /
-    reconstruct.f90 char_decomp=2 path): project each cell's stencil onto
-    that cell's eigenvectors, reconstruct the characteristic fields, and
-    transform the edge values back."""
-    if weno_order != 5:
-        raise NotImplementedError("char_decomp currently supports "
-                                  "weno_order=5")
+    reconstruct.f90 char_decomp=2 path, any supported order): project each
+    cell's stencil onto that cell's eigenvectors, reconstruct the
+    characteristic fields, and transform the edge values back."""
     R, L = evec(ixy, qbc, auxbc, params)
+    k = (weno_order + 1) // 2
     ws = [jnp.einsum("ab...,b...->a...", L, recon._shift(qbc, m))
-          for m in (-2, -1, 0, 1, 2)]
-    wl, wr = recon.weno5_stencil(*ws)
+          for m in range(-k + 1, k)]
+    wl, wr = recon.weno_stencil(weno_order, ws)
     ql = jnp.einsum("ab...,b...->a...", R, wl)
     qr = jnp.einsum("ab...,b...->a...", R, wr)
     return ql, qr
