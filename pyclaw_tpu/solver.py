@@ -169,7 +169,7 @@ class Solver:
         state.q = np.asarray(self._q_dev)
 
     # -- fully-traced evolve loop --------------------------------------
-    def _make_evolve_fn(self):
+    def _make_evolve_fn(self, state=None):
         """Build a jitted lax.while_loop running the ENTIRE adaptive
         accept/reject time loop on device.  The reference does one
         device->host CFL readback per step (fine over PCIe, ruinous over a
@@ -190,15 +190,28 @@ class Solver:
         dt_variable = self.dt_variable
         max_steps = self.max_steps
 
+        # gauges: gather q at registered cells each accepted step into a
+        # preallocated buffer carried through the while_loop (the
+        # reference appends per step from the host; one device sync per
+        # step would defeat the traced loop)
+        gauge_gather = None
+        if state is not None and state.patch.grid.gauge_indices:
+            import numpy as _np
+            gidx = _np.asarray(state.patch.grid.gauge_indices)  # (ng, ndim)
+            idx_tuple = tuple(jnp.asarray(gidx[:, d])
+                              for d in range(gidx.shape[1]))
+
+            def gauge_gather(qdev):
+                return qdev[(slice(None),) + idx_tuple]  # (num_eqn, ng)
+
         def evolve(q, aux, t0, dt0, tend):
             big = jnp.asarray(1e99, dtype=jnp.result_type(float))
 
             def cond(c):
-                q_, t, dt, ns, nr, cm, dmin, dmax_ = c
-                return (t < tend - 1e-12) & (ns + nr < max_steps)
+                return (c[1] < tend - 1e-12) & (c[3] + c[4] < max_steps)
 
             def body(c):
-                q_, t, dt, ns, nr, cm, dmin, dmax_ = c
+                q_, t, dt, ns, nr, cm, dmin, dmax_, gt, gq = c
                 dt_try = jnp.minimum(dt, tend - t)
                 # time bookkeeping stays in the default (f64) dtype; the
                 # kernel sees q.dtype scalars so f32 runs stay f32
@@ -210,6 +223,10 @@ class Solver:
                 else:
                     ok = jnp.asarray(True)
                 q_ = jnp.where(ok, q_new, q_)
+                if gauge_gather is not None:
+                    gt = gt.at[ns].set(jnp.where(ok, t + dt_try, gt[ns]))
+                    gq = gq.at[ns].set(jnp.where(ok, gauge_gather(q_),
+                                                 gq[ns]))
                 t = jnp.where(ok, t + dt_try, t)
                 ns = ns + jnp.int32(ok)
                 nr = nr + jnp.int32(~ok)
@@ -223,30 +240,36 @@ class Solver:
                         jnp.minimum(dt_max, dt_try * cfl_desired
                                     / jnp.where(good, cfl, 1.0)),
                         dt_try * 0.5)
-                return (q_, t, dt, ns, nr, cm, dmin, dmax_)
+                return (q_, t, dt, ns, nr, cm, dmin, dmax_, gt, gq)
 
             ftype = jnp.result_type(float)
+            if gauge_gather is None:
+                gt0 = jnp.zeros((0,), ftype)
+                gq0 = jnp.zeros((0,), q.dtype)
+            else:
+                ng = len(state.patch.grid.gauge_indices)
+                gt0 = jnp.zeros((max_steps,), ftype)
+                gq0 = jnp.zeros((max_steps, q.shape[0], ng), q.dtype)
             init = (q, jnp.asarray(t0, dtype=ftype),
                     jnp.asarray(dt0, dtype=ftype),
                     jnp.int32(0), jnp.int32(0),
                     jnp.zeros((), ftype), big,
-                    jnp.zeros((), ftype))
+                    jnp.zeros((), ftype), gt0, gq0)
             return lax.while_loop(cond, body, init)
 
         return jax.jit(evolve)
 
     def _can_use_traced_evolve(self, state):
         return (self.before_step is None
-                and not state.patch.grid.gauge_indices
                 and getattr(self, "traced_evolve", True))
 
     def _evolve_traced(self, solution, tend):
         state = solution.states[0]
         if getattr(self, "_evolve_fn", None) is None:
-            self._evolve_fn = self._make_evolve_fn()
+            self._evolve_fn = self._make_evolve_fn(state)
         out = self._evolve_fn(self._q_dev, self._aux_dev, state.t, self.dt,
                               tend)
-        q, t, dt, ns, nr, cm, dmin, dmax_ = out
+        q, t, dt, ns, nr, cm, dmin, dmax_, gt, gq = out
         self._q_dev = q
         # single host sync for the status scalars
         ns = int(ns)
@@ -258,6 +281,13 @@ class Solver:
                 f"steps (t={t}, accepted={ns}, rejected={nr})")
         state.t = tend
         self.dt = float(dt)
+        if state.patch.grid.gauge_indices and ns > 0:
+            gt_h = np.asarray(gt[:ns])
+            gq_h = np.asarray(gq[:ns])     # (ns, num_eqn, ng)
+            for i in range(ns):
+                for num in range(gq_h.shape[2]):
+                    state.gauge_data.append((num, float(gt_h[i]),
+                                             gq_h[i, :, num]))
         self.cfl.update_global_max(float(cm))
         self.status["numsteps"] += ns
         self.status["cflmax"] = max(self.status["cflmax"], float(cm))

@@ -89,6 +89,37 @@ def test_gauges():
     assert mid[1] < 0.05
 
 
+def test_gauges_traced_matches_host_loop(tmp_path):
+    """The device-buffered (traced evolve loop) gauge series must equal
+    the per-step host-loop series, and gauge files must land in
+    <outdir>/_gauges/gauge<N>.txt."""
+    from advection_1d import setup
+
+    def run(traced, outdir=None):
+        claw = setup(nx=64, outdir=outdir)
+        if outdir is not None:
+            claw.output_format = "ascii"
+        claw.solution.domain.grid.add_gauges([[0.25], [0.75]])
+        claw.solver.traced_evolve = traced
+        claw.run()
+        return claw
+
+    data_t = run(True, outdir=str(tmp_path)).solution.state.gauge_data
+    data_h = run(False).solution.state.gauge_data
+    assert len(data_t) == len(data_h)
+    for (n1, t1, v1), (n2, t2, v2) in zip(data_t, data_h):
+        assert n1 == n2
+        np.testing.assert_allclose(t1, t2, atol=1e-12)
+        np.testing.assert_allclose(v1, v2, atol=1e-12)
+    # file output
+    g0 = os.path.join(str(tmp_path), "_gauges", "gauge0.txt")
+    g1 = os.path.join(str(tmp_path), "_gauges", "gauge1.txt")
+    assert os.path.exists(g0) and os.path.exists(g1)
+    rows = np.loadtxt(g1)
+    assert rows.shape[1] == 2          # t + one component
+    assert abs(rows[0, 1] - 1.0) < 0.1
+
+
 def test_output_style_3(tmp_path):
     from advection_1d import setup
     claw = setup(nx=64, outdir=str(tmp_path))
