@@ -27,7 +27,7 @@ def _make_solution(num_dim=2, num_aux=1):
     return pyclaw.Solution(state, domain)
 
 
-@pytest.mark.parametrize("fmt", ["ascii", "hdf5"])
+@pytest.mark.parametrize("fmt", ["ascii", "hdf5", "netcdf"])
 @pytest.mark.parametrize("num_dim", [1, 2])
 def test_roundtrip(tmp_path, fmt, num_dim):
     sol = _make_solution(num_dim)
@@ -42,8 +42,23 @@ def test_roundtrip(tmp_path, fmt, num_dim):
     for d1, d2 in zip(sol.domain.grid.dimensions, sol2.domain.grid.dimensions):
         assert abs(d1.lower - d2.lower) < gtol
         assert abs(d1.delta - d2.delta) < gtol
-    if fmt == "hdf5":
+    if fmt in ("hdf5", "netcdf"):
         np.testing.assert_allclose(sol2.aux, sol.aux, atol=1e-14)
+
+
+def test_netcdf_problem_data_and_classic_format(tmp_path):
+    """netcdf frames persist problem_data scalars and are valid NetCDF-3
+    64-bit-offset files (magic 'CDF\\x02')."""
+    sol = _make_solution(2)
+    sol.state.problem_data.update({"gamma": 1.4, "steps": 7, "flag": True})
+    sol.write(0, path=str(tmp_path), file_format="netcdf")
+    fname = os.path.join(str(tmp_path), "claw0000.nc")
+    with open(fname, "rb") as f:
+        assert f.read(4) == b"CDF\x02"
+    sol2 = pyclaw.Solution(0, path=str(tmp_path), file_format="netcdf")
+    assert sol2.state.problem_data["gamma"] == 1.4
+    assert sol2.state.problem_data["steps"] == 7
+    assert sol2.state.problem_data["flag"] is True
 
 
 def test_restart_continuation(tmp_path):
