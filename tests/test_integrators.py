@@ -74,12 +74,34 @@ def test_ssplmm_convergence(integrator, order):
     assert rate > order - 0.45, (errs, rate)
 
 
-def test_ssplmm_requires_fixed_dt():
-    with pytest.raises(ValueError):
-        solver = pyclaw.SharpClawSolver1D(riemann.advection_1D)
-        solver.time_integrator = "SSPLMMk2"
-        solver.all_bcs = pyclaw.BC.periodic
-        domain = pyclaw.Domain([0.0], [1.0], [16])
-        state = pyclaw.State(domain, 1)
-        state.problem_data["u"] = 1.0
-        solver.setup(pyclaw.Solution(state, domain))
+@pytest.mark.parametrize("integrator", ["SSPLMMk2", "SSPLMMk3"])
+def test_ssplmm_variable_dt(integrator):
+    """SSPLMM with ADAPTIVE dt (reference step-ratio machinery,
+    omega-dependent coefficients): CFL-driven dt, SSP-coefficient CFL
+    defaults, stays accurate vs the exact advected profile."""
+    solver = pyclaw.SharpClawSolver1D(riemann.advection_1D)
+    solver.time_integrator = integrator
+    solver.lmm_steps = 5
+    solver.dt_variable = True
+    solver.dt_initial = 1e-4           # adapts upward via CFL
+    solver.all_bcs = pyclaw.BC.periodic
+    domain = pyclaw.Domain([0.0], [1.0], [128])
+    state = pyclaw.State(domain, 1)
+    state.problem_data["u"] = 1.0
+    x = domain.grid.x.centers
+    state.q[0] = np.sin(2 * np.pi * x) ** 4
+    claw = pyclaw.Controller()
+    claw.solution = pyclaw.Solution(state, domain)
+    claw.solver = solver
+    claw.tfinal = 1.0
+    claw.num_output_times = 2
+    claw.output_format = None
+    claw.run()
+    # CFL defaults: half the SSP coefficient C = (k-order)/(k-1)
+    order = 2 if integrator == "SSPLMMk2" else 3
+    assert abs(solver.cfl_max - 0.5 * (5 - order) / 4) < 1e-12
+    q = np.asarray(claw.solution.q[0])
+    exact = np.sin(2 * np.pi * x) ** 4   # full period: back to the IC
+    err = np.abs(q - exact).max()
+    assert err < 0.02, err
+    assert solver.status["dtmin"] < solver.status["dtmax"]  # dt adapted
