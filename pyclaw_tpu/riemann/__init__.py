@@ -67,7 +67,7 @@ from .shallow import (shallow_roe_with_efix_1D, shallow_hlle_1D,  # noqa: E402,F
 from .traffic import traffic_1D  # noqa: E402,F401
 from .kpp import kpp_2D  # noqa: E402,F401
 from .acoustics_var import (acoustics_variable_1D,  # noqa: E402,F401
-                            vc_acoustics_2D)
+                            vc_acoustics_2D, vc_acoustics_3D)
 from .psystem import psystem_1D  # noqa: E402,F401
 from .psystem2d import psystem_2D  # noqa: E402,F401
 
@@ -79,6 +79,7 @@ ALL = {s.name: s for s in [
     euler_with_efix_1D, euler_roe_1D, euler_hlle_1D, euler_4wave_2D,
     euler_5wave_2D, euler_3D,
     shallow_roe_with_efix_1D, shallow_hlle_1D, shallow_roe_with_efix_2D,
-    traffic_1D, kpp_2D, acoustics_variable_1D, vc_acoustics_2D, psystem_1D,
+    traffic_1D, kpp_2D, acoustics_variable_1D, vc_acoustics_2D,
+    vc_acoustics_3D, psystem_1D,
     shallow_bathymetry_fwave_1D, psystem_2D,
 ]}

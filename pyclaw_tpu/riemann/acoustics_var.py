@@ -105,3 +105,10 @@ acoustics_variable_1D.evec = _evec_acoustics_var
 vc_acoustics_2D = RiemannSolver("vc_acoustics_2D", 2, 3, 2,
                                 _rp_acoustics_var, rpt=_rpt_acoustics_var)
 vc_acoustics_2D.evec = _evec_acoustics_var
+# 3D heterogeneous acoustics: q=(p,u,v,w), same per-cell (Z,c) aux rows;
+# the transverse splitter is axis-generic (trans_axis).  No rptt (the
+# reference has no vc double-transverse solver either): pairwise CTU via
+# transverse_waves=1.
+vc_acoustics_3D = RiemannSolver("vc_acoustics_3D", 3, 4, 2,
+                                _rp_acoustics_var, rpt=_rpt_acoustics_var)
+vc_acoustics_3D.evec = _evec_acoustics_var

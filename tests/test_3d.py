@@ -151,3 +151,47 @@ def test_decomposition_invariance_3d():
     claw_p.run()
     np.testing.assert_allclose(claw_p.solution.q, claw_s.solution.q,
                                atol=1e-12)
+
+
+def test_acoustics_3d_heterogeneous():
+    """Layered-medium 3D acoustics (vc transverse in 3D): finite,
+    x<->y mirror symmetric; and with a UNIFORM medium the vc path must
+    reproduce the homogeneous acoustics_3D unsplit result to roundoff."""
+    from acoustics_3d_heterogeneous import setup
+    claw = setup(mx=20, my=20, mz=20, outdir=None)
+    claw.tfinal = 0.4
+    claw.num_output_times = 1
+    claw.run()
+    q = np.asarray(claw.solution.q)
+    assert np.all(np.isfinite(q))
+    np.testing.assert_allclose(q[0], q[0].transpose(1, 0, 2), atol=1e-11)
+    np.testing.assert_allclose(q[0], q[0][::-1], atol=1e-11)
+
+    # uniform-medium oracle vs homogeneous solver
+    claw_vc = setup(mx=16, my=16, mz=16, rho_bot=1.0, c_bot=1.0,
+                    outdir=None)
+    claw_vc.tfinal = 0.2
+    claw_vc.num_output_times = 1
+    claw_vc.run()
+
+    solver = pyclaw.ClawSolver3D(riemann.acoustics_3D)
+    solver.transverse_waves = 1
+    solver.cfl_desired, solver.cfl_max = 0.45, 0.5
+    solver.limiters = [pyclaw.limiters.tvd.MC]
+    solver.all_bcs = pyclaw.BC.extrap
+    domain = pyclaw.Domain([-1.0] * 3, [1.0] * 3, [16, 16, 16])
+    state = pyclaw.State(domain, 4)
+    state.problem_data["zz"] = 1.0
+    state.problem_data["cc"] = 1.0
+    X, Y, Z = domain.grid.c_centers
+    state.q[0] = 5.0 * np.exp(-40.0 * (X ** 2 + Y ** 2 + (Z + 0.5) ** 2))
+    state.q[1] = state.q[2] = state.q[3] = 0.0
+    claw_h = pyclaw.Controller()
+    claw_h.solution = pyclaw.Solution(state, domain)
+    claw_h.solver = solver
+    claw_h.tfinal = 0.2
+    claw_h.num_output_times = 1
+    claw_h.output_format = None
+    claw_h.run()
+    np.testing.assert_allclose(claw_vc.solution.q, claw_h.solution.q,
+                               atol=1e-11)
