@@ -58,7 +58,7 @@ from .advection import (advection_1D, advection_2D, advection_3D,  # noqa: E402,
                         vc_advection_1D, vc_advection_2D,
                         vc_advection_fwave_1D, vc_advection_fwave_2D)
 from .acoustics import acoustics_1D, acoustics_2D, acoustics_3D  # noqa: E402,F401
-from .burgers import burgers_1D  # noqa: E402,F401
+from .burgers import burgers_1D, burgers_2D, burgers_3D  # noqa: E402,F401
 from .euler import (euler_with_efix_1D, euler_roe_1D, euler_hlle_1D,  # noqa: E402,F401
                     euler_4wave_2D, euler_5wave_2D, euler_3D)
 from .shallow import (shallow_roe_with_efix_1D, shallow_hlle_1D,  # noqa: E402,F401
@@ -75,7 +75,7 @@ ALL = {s.name: s for s in [
     advection_1D, advection_2D, advection_3D, vc_advection_1D,
     vc_advection_2D, vc_advection_fwave_1D, vc_advection_fwave_2D,
     acoustics_1D, acoustics_2D, acoustics_3D,
-    burgers_1D,
+    burgers_1D, burgers_2D, burgers_3D,
     euler_with_efix_1D, euler_roe_1D, euler_hlle_1D, euler_4wave_2D,
     euler_5wave_2D, euler_3D,
     shallow_roe_with_efix_1D, shallow_hlle_1D, shallow_roe_with_efix_2D,

@@ -27,6 +27,28 @@ def _rp_burgers(ixy, q_l, q_r, aux_l, aux_r, params):
     return wave, s[None], amdq, apdq
 
 
+def _rpt_burgers(ixy, imp, q_l, q_r, aux_l, aux_r, asdq, params,
+                 trans_axis=None):
+    """Transverse splitter (reference rpt2_burgers.f90): the fluctuation
+    entering cell i1 is split by the sign of that cell's own state (the
+    transverse characteristic speed of the multi-D Burgers flux
+    q^2/2 per direction)."""
+    qc = (q_l if imp == 1 else q_r)[0]
+    bmasdq = jnp.minimum(qc, 0.0) * asdq
+    bpasdq = jnp.maximum(qc, 0.0) * asdq
+    return bmasdq, bpasdq
+
+
+def _rptt_burgers(ixy, icoor, imp, impt, q_l, q_r, aux_l, aux_r, bsasdq,
+                  params, trans_axis=None):
+    return _rpt_burgers(ixy, imp, q_l, q_r, aux_l, aux_r, bsasdq, params,
+                        trans_axis=trans_axis)
+
+
 from . import RiemannSolver  # noqa: E402
 
 burgers_1D = RiemannSolver("burgers_1D", 1, 1, 1, _rp_burgers)
+burgers_2D = RiemannSolver("burgers_2D", 2, 1, 1, _rp_burgers,
+                           rpt=_rpt_burgers)
+burgers_3D = RiemannSolver("burgers_3D", 3, 1, 1, _rp_burgers,
+                           rpt=_rpt_burgers, rptt=_rptt_burgers)

@@ -14,6 +14,9 @@ import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
 
+import pyclaw_tpu as pyclaw  # noqa: E402
+from pyclaw_tpu import riemann  # noqa: E402
+
 
 @pytest.mark.parametrize("solver_type", ["classic", "sharpclaw"])
 def test_acoustics_2d_symmetry(solver_type):
@@ -146,3 +149,69 @@ def test_acoustics_2d_vs_1d_plane_wave():
     # and matches the 1D evolution closely (dt sequences may differ)
     err = np.max(np.abs(q2_slice - c1.solution.q[0]))
     assert err < 5e-3, f"plane-wave 2D vs 1D diff {err} (dts {s1_dts})"
+
+
+def test_burgers_2d_matches_1d_and_diagonal_symmetry():
+    """2D Burgers oracles: y-invariant data evolves exactly like the 1D
+    solver, and an x<->y symmetric IC stays symmetric through the full
+    unsplit CTU sweep (rpt2_burgers equivalent)."""
+    nx = 64
+    x0 = np.linspace(0.0, 1.0, nx, endpoint=False) + 0.5 / nx
+    ic = 0.5 + np.sin(2 * np.pi * x0) ** 2
+
+    # 1D reference
+    s1 = pyclaw.ClawSolver1D(riemann.burgers_1D)
+    s1.limiters = [pyclaw.limiters.tvd.MC]
+    s1.all_bcs = pyclaw.BC.periodic
+    d1 = pyclaw.Domain([0.0], [1.0], [nx])
+    st1 = pyclaw.State(d1, 1)
+    st1.q[0] = ic
+    c1 = pyclaw.Controller()
+    c1.solution = pyclaw.Solution(st1, d1)
+    c1.solver = s1
+    c1.tfinal = 0.3
+    c1.num_output_times = 1
+    c1.output_format = None
+    c1.run()
+
+    # 2D with y-invariant IC
+    s2 = pyclaw.ClawSolver2D(riemann.burgers_2D)
+    s2.dimensional_split = False
+    s2.limiters = [pyclaw.limiters.tvd.MC]
+    s2.all_bcs = pyclaw.BC.periodic
+    d2 = pyclaw.Domain([0.0, 0.0], [1.0, 1.0], [nx, 8])
+    st2 = pyclaw.State(d2, 1)
+    st2.q[0] = ic[:, None]
+    c2 = pyclaw.Controller()
+    c2.solution = pyclaw.Solution(st2, d2)
+    c2.solver = s2
+    c2.tfinal = 0.3
+    c2.num_output_times = 1
+    c2.output_format = None
+    c2.run()
+    q2 = np.asarray(c2.solution.q[0])
+    # exact y-invariance
+    assert np.max(np.abs(q2 - q2[:, :1])) < 1e-12
+    # matches 1D (same dt sequence: same CFL policy on identical speeds)
+    np.testing.assert_allclose(q2[:, 0], np.asarray(c1.solution.q[0]),
+                               atol=1e-11)
+
+    # diagonal symmetry
+    s3 = pyclaw.ClawSolver2D(riemann.burgers_2D)
+    s3.dimensional_split = False
+    s3.limiters = [pyclaw.limiters.tvd.MC]
+    s3.all_bcs = pyclaw.BC.periodic
+    d3 = pyclaw.Domain([0.0, 0.0], [1.0, 1.0], [48, 48])
+    st3 = pyclaw.State(d3, 1)
+    X, Y = d3.grid.c_centers
+    st3.q[0] = np.exp(-30.0 * ((X - 0.5) ** 2 + (Y - 0.5) ** 2))
+    c3 = pyclaw.Controller()
+    c3.solution = pyclaw.Solution(st3, d3)
+    c3.solver = s3
+    c3.tfinal = 0.4
+    c3.num_output_times = 1
+    c3.output_format = None
+    c3.run()
+    q3 = np.asarray(c3.solution.q[0])
+    assert np.all(np.isfinite(q3))
+    np.testing.assert_allclose(q3, q3.T, atol=1e-11)
