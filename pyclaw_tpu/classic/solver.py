@@ -173,12 +173,16 @@ class ClawSolver2D(ClawSolver):
                 return qy, jnp.maximum(cflx, cfly)
         else:
             tw = self.transverse_waves
+            if self.backend == "pallas":
+                from ..ops import step2_pallas as step2_fn
+            else:
+                step2_fn = kernels.step2
 
             def hyper(q, aux, dt, t):
                 qbc, auxbc = self._extend_bc(q, aux, t, state)
-                return kernels.step2(qbc, auxbc, dt, dx, dy, rp, rpt, params,
-                                     mthlim, order, fwave, index_capa, g,
-                                     transverse_waves=tw)
+                return step2_fn(qbc, auxbc, dt, dx, dy, rp, rpt, params,
+                                mthlim, order, fwave, index_capa, g,
+                                transverse_waves=tw)
         return hyper
 
 

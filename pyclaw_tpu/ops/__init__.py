@@ -21,4 +21,5 @@ kernels are an optimization margin, not a correctness dependency.
 """
 
 from .sweep import step1_pallas  # noqa: F401
+from .sweep2d import step2_pallas  # noqa: F401
 from .weno import weno5_pallas  # noqa: F401

@@ -1,0 +1,69 @@
+"""Pallas fused classic 2D unsplit sweep.
+
+Fused TPU counterpart of ``classic/kernels.py — step2`` (reference
+``classic/step2.f90`` + ``flux2.f90``): one VMEM-resident kernel runs the
+whole {x/y Riemann solves, wave limiting, correction fluxes, transverse
+corner-transport scatter, cell update, CFL} program on a block.  The
+Riemann and transverse solvers are arbitrary pure-jnp callables traced
+INTO the kernel (the Pallas analog of the reference passing f2py
+``._cpointer`` function pointers into step2).
+
+This is the single-block version: the ghost-padded array must fit VMEM
+(~16 MB ⇒ up to ~256x256xf32x4eqn comfortably); production grids run the
+XLA backend (already ~60% of the HBM roofline) or a future multi-block
+variant with halo-apron DMA.  Interpret mode on CPU makes it a test
+oracle against the XLA kernel (SURVEY.md §4 dual-path consistency).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..classic import kernels
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+def step2_pallas(qbc, auxbc, dt, dx, dy, rp, rpt, params, mthlim, order,
+                 fwave, index_capa, num_ghost, transverse_waves=2):
+    """Fused 2D unsplit step on ghost-padded arrays.  Same contract as
+    classic.kernels.step2: qbc (num_eqn, nx, ny) -> (q interior, cfl)."""
+    g = num_ghost
+    num_eqn, nx, ny = qbc.shape
+    mx, my = nx - 2 * g, ny - 2 * g
+    has_aux = auxbc is not None
+
+    def kernel(*refs):
+        if has_aux:
+            q_ref, aux_ref, dt_ref, out_ref, cfl_ref = refs
+            aux = aux_ref[:]
+        else:
+            q_ref, dt_ref, out_ref, cfl_ref = refs
+            aux = None
+        q = q_ref[:]
+        dtv = dt_ref[0, 0]
+        q_new, cfl = kernels.step2(q, aux, dtv, dx, dy, rp, rpt, params,
+                                   mthlim, order, fwave, index_capa, g,
+                                   transverse_waves=transverse_waves)
+        out_ref[:] = q_new
+        cfl_ref[0, 0] = cfl
+
+    dt_arr = jnp.asarray(dt, dtype=qbc.dtype).reshape(1, 1)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [vspec] + ([vspec] if has_aux else []) + [sspec]
+    args = (qbc,) + ((auxbc,) if has_aux else ()) + (dt_arr,)
+    q_out, cfl = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=(vspec, sspec),
+        out_shape=(jax.ShapeDtypeStruct((num_eqn, mx, my), qbc.dtype),
+                   jax.ShapeDtypeStruct((1, 1), qbc.dtype)),
+        interpret=_interpret(),
+    )(*args)
+    return q_out, cfl[0, 0]

@@ -52,3 +52,22 @@ def test_sharpclaw_pallas_weno_matches_xla():
         claw.run()
         runs[backend] = claw.solution.q.copy()
     np.testing.assert_allclose(runs["pallas"], runs["xla"], atol=1e-12)
+
+
+@pytest.mark.parametrize("example,kw", [
+    ("acoustics_2d", {"mx": 40, "my": 40}),
+    ("euler_2d_quadrants", {"mx": 40, "my": 40}),
+])
+def test_classic_2d_pallas_backend_matches_xla(example, kw):
+    """Fused 2D unsplit sweep (ops/sweep2d.py) vs the XLA kernel — full
+    CTU incl. transverse terms must agree to roundoff."""
+    mod = __import__(example)
+    runs = {}
+    for backend in ("xla", "pallas"):
+        claw = mod.setup(solver_type="classic", kernel_language=backend,
+                         outdir=None, **kw)
+        claw.tfinal = 0.1
+        claw.num_output_times = 1
+        claw.run()
+        runs[backend] = claw.solution.q.copy()
+    np.testing.assert_allclose(runs["pallas"], runs["xla"], atol=1e-12)
