@@ -33,26 +33,41 @@ def main(mx=1024, my=1024, nsteps=300, dtype="float32"):
     solver.setup(claw.solution)
 
     q = jnp.asarray(state.q)
-    aux = None
     dt = 0.2 * (1.0 / mx)  # fixed stable dt (CFL ~0.5 for this IC)
     step = solver._step_fn
 
-    # warmup / compile (no host transfers before timing: the tunneled dev
-    # chip pays a huge one-time cost on the first device->host transfer)
-    qq = q
-    for i in range(20):
-        qq, cfl = step(qq, aux, dt, 0.0)
-    qq.block_until_ready()
+    # Measure the PRODUCT execution model: the traced on-device evolve
+    # loop (lax.fori_loop -> ONE dispatch for the whole run).  Per-call
+    # dispatch through the tunneled dev chip costs ~6 ms RPC + ~0.3 s for
+    # the result readback; timing per-step python dispatches measures the
+    # tunnel, not the chip (validated 2026-08-18: block_until_ready on a
+    # short chain returns at enqueue).  Differencing a long and a short
+    # run cancels the constant RPC/readback overhead exactly.
+    from jax import lax
 
-    # steady-state timing: chain steps on device, sync once at the end
-    t0 = time.perf_counter()
-    qq = q
-    for i in range(nsteps):
-        qq, cfl = step(qq, aux, dt, 0.0)
-    qq.block_until_ready()
-    elapsed = time.perf_counter() - t0
+    @jax.jit
+    def run_n(q0, n):
+        def body(i, qc):
+            qn, cfl = step(qc, None, dt, 0.0)
+            return qn
+        return lax.fori_loop(0, n, body, q0)
 
-    compile_ok = bool(np.isfinite(float(cfl)))  # one transfer, after timing
+    def timed(n):
+        best = float("inf")
+        for rep in range(3):
+            t0 = time.perf_counter()
+            out = run_n(q, n)
+            s = float(jnp.sum(out[0, ::256, ::256]))  # forces completion
+            best = min(best, time.perf_counter() - t0)
+        return best, s
+
+    n0 = 20
+    timed(n0)                        # compile + warm caches
+    t_small, _ = timed(n0)
+    t_big, s_big = timed(n0 + nsteps)
+    elapsed = t_big - t_small
+
+    compile_ok = bool(np.isfinite(s_big))
     cells = mx * my
     cups = cells * nsteps / elapsed
     result = {

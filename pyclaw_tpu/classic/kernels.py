@@ -35,16 +35,20 @@ def _dtdx_arr(dt, dxi, capa, n, dtype):
     return dt / (dxi * capa)
 
 
-def _correction_flux(wave_lim, s, dtdxave, fwave):
+def _correction_flux(wave, phi, s, dtdxave, fwave):
     """Second-order correction flux at each interface:
     cqxx = sum_p 0.5 |s^p| (1 - |s^p| dt/dx) W~^p    (wave form)
-    cqxx = sum_p 0.5 sign(s^p) (1 - |s^p| dt/dx) Z~^p (f-wave form)."""
+    cqxx = sum_p 0.5 sign(s^p) (1 - |s^p| dt/dx) Z~^p (f-wave form)
+    with W~^p = phi^p W^p.  The limiter factor phi is folded into the
+    per-wave coefficient so the limited wave tensor (the biggest array in
+    the hot path) is never materialized — XLA fuses the reduction over
+    waves with the raw rp output."""
     abss = jnp.abs(s)
     if fwave:
         coef = 0.5 * jnp.sign(s) * (1.0 - abss * dtdxave)
     else:
         coef = 0.5 * abss * (1.0 - abss * dtdxave)
-    return jnp.einsum("w...,ew...->e...", coef, wave_lim)
+    return jnp.einsum("w...,ew...->e...", coef * phi, wave)
 
 
 def step1(q, aux, dt, dx, rp, params, mthlim, order, fwave, index_capa,
@@ -83,8 +87,8 @@ def step1(q, aux, dt, dx, rp, params, mthlim, order, fwave, index_capa,
 
     if order == 2:
         dtdxave = 0.5 * (dtdx[..., :-1] + dtdx[..., 1:])
-        wave_lim = tvd.limit(num_eqn, wave, s, mthlim, dtdx=dtdxave)
-        cqxx = _correction_flux(wave_lim, s, dtdxave, fwave)
+        phi = tvd.limiter_phi(num_eqn, wave, s, mthlim, dtdx=dtdxave)
+        cqxx = _correction_flux(wave, phi, s, dtdxave, fwave)
         q_new = q_new - dtdx[..., 1:-1] * (cqxx[..., 1:] - cqxx[..., :-1])
 
     # q_new covers cells 1..n-2; interior cells are g..n-1-g
@@ -156,11 +160,11 @@ def _sweep_normal(q, aux, ixy, rp, params, mthlim, order, fwave, dtdx_cells):
             wave_m = jnp.moveaxis(wave, 1 + axis, -1)
             s_m = jnp.moveaxis(s, axis, -1)
             dtdx_m = jnp.moveaxis(dtdxave, axis - 1, -1)
-            wave_lim = tvd.limit(num_eqn, wave_m, s_m, mthlim, dtdx=dtdx_m)
-            wave_lim = jnp.moveaxis(wave_lim, -1, 1 + axis)
+            phi = tvd.limiter_phi(num_eqn, wave_m, s_m, mthlim, dtdx=dtdx_m)
+            phi = jnp.moveaxis(phi, -1, axis)
         else:
-            wave_lim = tvd.limit(num_eqn, wave, s, mthlim, dtdx=dtdxave)
-        cqxx = _correction_flux(wave_lim, s, dtdxave, fwave)
+            phi = tvd.limiter_phi(num_eqn, wave, s, mthlim, dtdx=dtdxave)
+        cqxx = _correction_flux(wave, phi, s, dtdxave, fwave)
     return wave, s, amdq, apdq, cqxx, dtdxave
 
 

@@ -70,6 +70,7 @@ from .acoustics_var import (acoustics_variable_1D,  # noqa: E402,F401
                             vc_acoustics_2D, vc_acoustics_3D)
 from .psystem import psystem_1D  # noqa: E402,F401
 from .shallow_sphere import shallow_sphere_fwave_2D  # noqa: E402,F401
+from .mhd import mhd_1D  # noqa: E402,F401
 from .psystem2d import psystem_2D  # noqa: E402,F401
 
 ALL = {s.name: s for s in [
@@ -83,4 +84,5 @@ ALL = {s.name: s for s in [
     traffic_1D, kpp_2D, acoustics_variable_1D, vc_acoustics_2D,
     vc_acoustics_3D, psystem_1D,
     shallow_bathymetry_fwave_1D, psystem_2D, shallow_sphere_fwave_2D,
+    mhd_1D,
 ]}
