@@ -166,7 +166,10 @@ class Solver:
         self._aux_dev = None if state.aux is None else jnp.asarray(state.aux)
 
     def _pull(self, state):
-        state.q = np.asarray(self._q_dev)
+        q = np.asarray(self._q_dev)
+        if not q.flags.writeable:      # zero-copy views of jax arrays are
+            q = q.copy()               # read-only; hooks may mutate state.q
+        state.q = q
 
     # -- fully-traced evolve loop --------------------------------------
     def _make_evolve_fn(self, state=None):

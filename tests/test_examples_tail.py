@@ -146,3 +146,26 @@ def test_psystem_2d_gauges():
     # the strain wave reaches r=0.5 and passes: gauge series is non-trivial
     assert g0.max() > 0.02
     assert abs(g0[-1]) < g0.max() / 2.0
+
+
+def test_shock_forward_step():
+    """Mach-3 wind tunnel with a forward-facing step (embedded reflecting
+    boundary via before_step mirror fill + custom inflow BC).  By t=0.5 a
+    bow shock stands off the step: peak fluid density approaches the
+    Mach-3 normal-shock compression rho2 = rho1*(gamma+1)M^2 /
+    ((gamma-1)M^2 + 2) = 5.4."""
+    from shock_forward_step import setup
+    claw = setup(mx=60, my=20, tfinal=0.5, num_output_times=1, outdir=None)
+    claw.run()
+    q = np.asarray(claw.solution.q)
+    ix0, jy = 12, 4           # step region at mx=60, my=20
+    fluid = np.ones(q.shape[1:], bool)
+    fluid[ix0:, :jy] = False
+    assert np.isfinite(q).all()
+    rho = q[0][fluid]
+    p = 0.4 * (q[3] - 0.5 * (q[1] ** 2 + q[2] ** 2) / q[0])[fluid]
+    assert (rho > 0).all() and (p > 0).all()
+    # bow shock: strong compression near (but below) the normal-shock limit
+    assert 4.5 < rho.max() < 6.0
+    # upstream of the bow shock the free stream is untouched
+    assert abs(q[0, 2, -2] - 1.4) < 1e-6
