@@ -37,14 +37,35 @@ def write(solution, frame, path, file_prefix="fort", write_aux=False,
 
     # fort.qXXXX ------------------------------------------------------
     q = state.get_q_p() if write_p else np.asarray(state.q)
-    with open(os.path.join(path, _fname(file_prefix, frame, "q")), "w") as f:
-        _write_patch_header(f, patch)
-        _write_array(f, q)
+    _write_data_file(os.path.join(path, _fname(file_prefix, frame, "q")),
+                     patch, q)
 
     if write_aux and state.aux is not None:
-        with open(os.path.join(path, _fname(file_prefix, frame, "a")), "w") as f:
-            _write_patch_header(f, patch)
-            _write_array(f, np.asarray(state.aux))
+        _write_data_file(os.path.join(path, _fname(file_prefix, frame, "a")),
+                         patch, np.asarray(state.aux))
+
+
+def _write_data_file(fname, patch, q):
+    """Patch header + q array; native C++ writer (pyclaw_tpu._native,
+    byte-identical output) when available, Python loops otherwise."""
+    from .._native import get_io_lib
+    lib = get_io_lib()
+    if lib is not None:
+        import ctypes
+        import io as _io
+        hdr = _io.StringIO()
+        _write_patch_header(hdr, patch)
+        qc = np.ascontiguousarray(q, dtype=np.float64)
+        shape = list(qc.shape[1:]) + [1] * (4 - qc.ndim)
+        rc = lib.claw_write_ascii(
+            fname.encode(), hdr.getvalue().encode(),
+            qc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            qc.shape[0], shape[0], shape[1], shape[2], qc.ndim - 1)
+        if rc == 0:
+            return
+    with open(fname, "w") as f:
+        _write_patch_header(f, patch)
+        _write_array(f, q)
 
 
 def _write_patch_header(f, patch):

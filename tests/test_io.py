@@ -170,3 +170,41 @@ def test_keep_copy_frames():
     # frames are deep copies, not views
     assert claw.frames[0].q[0].max() != claw.frames[5].q[0].max() or \
         not np.allclose(claw.frames[0].q, claw.frames[5].q)
+
+
+@pytest.mark.parametrize("num_dim", [1, 2, 3])
+def test_native_ascii_writer_byte_identical(tmp_path, num_dim):
+    """The C++ frame writer (pyclaw_tpu._native.fastio) must produce
+    byte-identical fort.q files to the pure-Python formatting loops,
+    including negative zeros, huge/tiny magnitudes, and blank-line
+    layout."""
+    from pyclaw_tpu import _native
+    from pyclaw_tpu.fileio import ascii as asciimod
+
+    if _native.get_io_lib() is None:
+        pytest.skip("no native toolchain")
+
+    if num_dim == 1:
+        domain = pyclaw.Domain([0.0], [1.0], [37])
+    elif num_dim == 2:
+        domain = pyclaw.Domain([0.0, -1.0], [1.0, 1.0], [11, 7])
+    else:
+        domain = pyclaw.Domain([0.0, -1.0, 2.0], [1.0, 1.0, 3.0], [5, 7, 3])
+    state = pyclaw.State(domain, 2)
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal(state.q.shape)
+    q.flat[::17] *= 1e200
+    q.flat[1::23] *= 1e-200
+    q.flat[2::29] = -0.0
+    state.q[...] = q
+    sol = pyclaw.Solution(state, domain)
+
+    sol.write(1, str(tmp_path), file_format="ascii")
+    native = (tmp_path / "fort.q0001").read_bytes()
+
+    patch = domain.patches[0]
+    with open(tmp_path / "py.q", "w") as f:
+        asciimod._write_patch_header(f, patch)
+        asciimod._write_array(f, np.asarray(state.q))
+    python = (tmp_path / "py.q").read_bytes()
+    assert native == python
