@@ -92,6 +92,28 @@ def setup(mx=120, my=40, kernel_language="xla", solver_type="classic",
     return claw
 
 
+def setplot(plotdata):
+    """Density pcolor + schlieren (visclaw-style setplot)."""
+    plotdata.clearfigures()
+
+    fig = plotdata.new_plotfigure(name="Density", figno=0)
+    axes = fig.new_plotaxes()
+    axes.title = "Density"
+    axes.scaled = True
+    item = axes.new_plotitem(plot_type="2d_pcolor")
+    item.plot_var = 0
+    item.pcolor_cmin = 0.0
+    item.pcolor_cmax = 6.0
+
+    fig = plotdata.new_plotfigure(name="Schlieren", figno=1)
+    axes = fig.new_plotaxes()
+    axes.title = "Schlieren (|grad rho|)"
+    axes.scaled = True
+    item = axes.new_plotitem(plot_type="2d_schlieren")
+    item.plot_var = 0
+    return plotdata
+
+
 if __name__ == "__main__":
     from pyclaw_tpu.util import run_app_from_main
-    run_app_from_main(setup)
+    run_app_from_main(setup, setplot)

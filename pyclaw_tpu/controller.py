@@ -141,7 +141,8 @@ class Controller:
                     f.write(" ".join(f"{v:.15e}" for v in
                                      [t, *list(vals)]) + "\n")
 
-    def plot(self):
+    def plot(self, setplot=None):
         from . import plot
         plot.interactive_plot(outdir=self.outdir,
-                              file_format=self.output_format)
+                              file_format=self.output_format,
+                              setplot=setplot)

@@ -46,10 +46,10 @@ def run_app_from_main(application, setplot=None):
     claw = application(**kwargs)
     status = claw.run()
     if plot_requested == "iplot":
-        claw.plot()
+        claw.plot(setplot=setplot)
     elif plot_requested == "htmlplot":
         from . import plot
-        plot.html_plot(outdir=claw.outdir)
+        plot.html_plot(outdir=claw.outdir, setplot=setplot)
     return status
 
 
