@@ -330,13 +330,13 @@ def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
           fwave, index_capa, num_ghost, transverse_waves=2):
     """3D unsplit classic step (step3.f90 + flux3.f90 equivalent).
 
-    Normal sweeps + limited corrections in x/y/z and *pairwise* transverse
-    corner-transport: every directional fluctuation A±dq is rpt3-split into
+    Normal sweeps + limited corrections in x/y/z, transverse corner
+    transport (every directional fluctuation A±dq is rpt3-split into
     up/down-going parts along each of the two transverse axes, modifying
-    the orthogonal correction fluxes.  The reference's double-transverse
-    (rptt3) corner-of-corner terms are not yet ported, so the stability
-    bound is CFL ~0.5 (ClawSolver3D defaults cfl_desired=0.45 accordingly)
-    rather than the full-CTU 1.0.
+    the orthogonal correction fluxes), and the reference's
+    double-transverse (rptt3) corner-of-corner corrections — the full
+    Langseth–LeVeque unsplit CTU scheme, stable to CFL 1 (pinned exactly
+    by the product-form advection oracle, tests/test_ctu_exact.py).
 
     q: (num_eqn, nx, ny, nz) ghost-padded.  Returns (q_interior, cfl).
     """

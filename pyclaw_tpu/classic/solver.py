@@ -188,8 +188,8 @@ class ClawSolver2D(ClawSolver):
 
 class ClawSolver3D(ClawSolver):
     """3D classic solver (step3.f90/flux3.f90 path; reference ClawSolver3D).
-    Unsplit with single-transverse corner transport; double-transverse
-    (rptt3) corrections land with the 3D kernel milestone."""
+    Full unsplit CTU: single-transverse (rpt3) corner transport plus
+    double-transverse (rptt3) corner-of-corner corrections."""
     num_dim = 3
 
     def __init__(self, riemann_solver=None):

@@ -37,6 +37,10 @@ class Controller:
         self.file_prefix_p = "claw_p"
         self.verbosity = 3
         self.check_validity = False
+        # observability (SURVEY.md §5.1): set to a directory path to wrap
+        # the whole run in jax.profiler.trace — the trace (viewable in
+        # XProf/TensorBoard) covers every compiled step dispatch.
+        self.profile_dir = None
 
     @property
     def num_eqn(self):
@@ -82,6 +86,13 @@ class Controller:
             self.solver.verbosity = self.verbosity
 
     def run(self):
+        if self.profile_dir is not None:
+            import jax
+            with jax.profiler.trace(self.profile_dir):
+                return self._run()
+        return self._run()
+
+    def _run(self):
         if self.solver is None or self.solution is None:
             raise ValueError("Controller needs solver and solution")
         self._configure_logging()

@@ -57,7 +57,13 @@ class Solver:
         self.rp = riemann_solver
         self.cfl = CFL()
         self.status = {"cflmax": 0.0, "dtmin": float("inf"),
-                       "dtmax": 0.0, "numsteps": 0}
+                       "dtmax": 0.0, "numsteps": 0,
+                       # observability (SURVEY.md §5.1): the reference has
+                       # no profiling; the rebuild's primary metric is
+                       # cell-updates/s, so the solver keeps a step timer.
+                       # wall_time includes jit compile on the first call.
+                       "wall_time": 0.0, "cell_updates": 0,
+                       "cell_updates_per_sec": 0.0}
         self.verbosity = 0
         self.logger = logger
 
@@ -306,6 +312,26 @@ class Solver:
         return (not self.dt_variable) or cfl <= self.cfl_max
 
     def evolve_to_time(self, solution, tend=None):
+        """Advance to tend (or one step).  Wraps the actual loop with the
+        step timer / cell-updates-per-second counter (SURVEY.md §5.1)."""
+        import time
+        ns0 = self.status["numsteps"]
+        t_wall = time.perf_counter()
+        try:
+            return self._evolve_to_time(solution, tend)
+        finally:
+            elapsed = time.perf_counter() - t_wall
+            cells = 1
+            for n in solution.states[0].q.shape[1:]:
+                cells *= int(n)
+            self.status["wall_time"] += elapsed
+            self.status["cell_updates"] += \
+                (self.status["numsteps"] - ns0) * cells
+            if self.status["wall_time"] > 0.0:
+                self.status["cell_updates_per_sec"] = (
+                    self.status["cell_updates"] / self.status["wall_time"])
+
+    def _evolve_to_time(self, solution, tend=None):
         state = solution.states[0]
         if not self._is_set_up:
             self.setup(solution)

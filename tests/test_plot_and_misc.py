@@ -65,3 +65,23 @@ def test_write_p_output(tmp_path):
     claw.run()
     files = os.listdir(tmp_path)
     assert any(f.startswith("claw_p.q") for f in files), files
+
+def test_observability_counters_and_profiler(tmp_path):
+    """Step timer + cell-updates/s counter on solver.status and the
+    jax.profiler trace hook (SURVEY.md §5.1 — a required NEW feature:
+    the reference has no profiling; the rebuild's primary metric is
+    cell-updates/s so the framework must self-report it)."""
+    from advection_1d import setup
+    claw = setup(nx=64, outdir=None)
+    claw.num_output_times = 2
+    claw.profile_dir = str(tmp_path / "trace")
+    status = claw.run()
+    ns = status["numsteps"]
+    assert ns > 0
+    assert status["wall_time"] > 0.0
+    assert status["cell_updates"] == ns * 64
+    assert status["cell_updates_per_sec"] == (
+        status["cell_updates"] / status["wall_time"])
+    # the profiler trace hook actually wrote a trace
+    trace_files = [f for _, _, fs in os.walk(tmp_path / "trace") for f in fs]
+    assert trace_files, "jax.profiler.trace produced no files"
