@@ -168,12 +168,6 @@ def _sweep_normal(q, aux, ixy, rp, params, mthlim, order, fwave, dtdx_cells):
     return wave, s, amdq, apdq, cqxx, dtdxave
 
 
-def _shift_cells(a, axis, k):
-    """out[..., i, ...] = a[..., i+k, ...] via jnp.roll (callers only use
-    the valid interior; ghost bands absorb the wrap)."""
-    return jnp.roll(a, -k, axis=axis)
-
-
 def step2(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order, fwave,
           index_capa, num_ghost, transverse_waves=2):
     """2D unsplit classic step (step2.f90 + flux2.f90 equivalent).

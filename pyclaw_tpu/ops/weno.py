@@ -23,6 +23,13 @@ from ..limiters.recon import EPWENO
 
 
 def _interpret():
+    # PYCLAW_TPU_PALLAS_INTERPRET=1 forces interpret mode even on TPU —
+    # the debug "sanitizer" (SURVEY.md §5.2): runs the kernel as plain
+    # traced jnp so out-of-bounds reads / race-y writes surface as
+    # ordinary XLA errors with full shape checking.
+    import os
+    if os.environ.get("PYCLAW_TPU_PALLAS_INTERPRET", "0") == "1":
+        return True
     return jax.default_backend() != "tpu"
 
 
