@@ -41,14 +41,15 @@ def _correction_flux(wave, phi, s, dtdxave, fwave):
     cqxx = sum_p 0.5 sign(s^p) (1 - |s^p| dt/dx) Z~^p (f-wave form)
     with W~^p = phi^p W^p.  The limiter factor phi is folded into the
     per-wave coefficient so the limited wave tensor (the biggest array in
-    the hot path) is never materialized — XLA fuses the reduction over
-    waves with the raw rp output."""
+    the hot path) is never materialized — the multiply + small-axis sum
+    fuses with the raw rp output on the VPU (an einsum here lowers to a
+    per-point 4x4 dot_general that XLA pads onto the MXU: ~10x slower)."""
     abss = jnp.abs(s)
     if fwave:
         coef = 0.5 * jnp.sign(s) * (1.0 - abss * dtdxave)
     else:
         coef = 0.5 * abss * (1.0 - abss * dtdxave)
-    return jnp.einsum("w...,ew...->e...", coef * phi, wave)
+    return jnp.sum((coef * phi)[None] * wave, axis=1)
 
 
 def step1(q, aux, dt, dx, rp, params, mthlim, order, fwave, index_capa,
@@ -154,18 +155,23 @@ def _sweep_normal(q, aux, ixy, rp, params, mthlim, order, fwave, dtdx_cells):
     dtdxave = None
     if order == 2:
         num_eqn = q.shape[0]
-        dtdxave = 0.5 * (lo(dtdx_cells[None])[0] + hi(dtdx_cells[None])[0])
-        # limiter compares along the interface axis: move it last
-        if axis != q.ndim - 1:
-            wave_m = jnp.moveaxis(wave, 1 + axis, -1)
-            s_m = jnp.moveaxis(s, axis, -1)
-            dtdx_m = jnp.moveaxis(dtdxave, axis - 1, -1)
-            phi = tvd.limiter_phi(num_eqn, wave_m, s_m, mthlim, dtdx=dtdx_m)
-            phi = jnp.moveaxis(phi, -1, axis)
+        if jnp.ndim(dtdx_cells) == 0:
+            dtdxave = dtdx_cells
         else:
-            phi = tvd.limiter_phi(num_eqn, wave, s, mthlim, dtdx=dtdxave)
+            dtdxave = 0.5 * (lo(dtdx_cells[None])[0] + hi(dtdx_cells[None])[0])
+        # limiter compares along the interface axis, addressed negatively
+        # so no transpose of the wave tensor is ever needed
+        neg_axis = axis - q.ndim
+        phi = tvd.limiter_phi(num_eqn, wave, s, mthlim, dtdx=dtdxave,
+                              axis=neg_axis)
         cqxx = _correction_flux(wave, phi, s, dtdxave, fwave)
     return wave, s, amdq, apdq, cqxx, dtdxave
+
+
+def _pad_axis(a, axis, before, after):
+    pads = [(0, 0)] * a.ndim
+    pads[axis] = (before, after)
+    return jnp.pad(a, pads)
 
 
 def step2(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order, fwave,
@@ -174,17 +180,28 @@ def step2(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order, fwave,
 
     q: (num_eqn, nx, ny) ghost-padded.  Two-pass structure (SURVEY.md §7
     "hard parts"): normal fluctuations and correction fluxes are
-    materialized as full-grid arrays, then the transverse pass scatters
-    corner-transport corrections into the orthogonal flux arrays with
-    shifted adds.  Returns (q_interior, cfl).
+    materialized as full-grid arrays, then the transverse pass adds
+    corner-transport corrections into the orthogonal flux arrays as
+    zero-padded shifted slices (lax.pad fuses; a scatter-add here
+    serializes on TPU).  Without a capacity function dt/dx stays a SCALAR
+    all the way through — no full-grid coefficient arrays.
+
+    transverse_waves (reference flux2.f90 method(3)):
+      0 = no transverse propagation (donor-cell corners),
+      1 = transverse transport of first-order fluctuations (CTU),
+      2 = additionally transport the second-order correction waves: cqxx
+          is folded into A±ΔQ before the rpt split (flux2.f90 folds cqxx
+          into amdq/apdq when method(2)>1 and method(3)==2).
+
+    Returns (q_interior, cfl).
     """
     g = num_ghost
     num_eqn, nx, ny = q.shape
 
     capa = aux[index_capa] if index_capa >= 0 else None
     if capa is None:
-        dtdx = jnp.full((nx, ny), dt / dx, dtype=q.dtype)
-        dtdy = jnp.full((nx, ny), dt / dy, dtype=q.dtype)
+        dtdx = dt / dx          # scalar: XLA folds the broadcast into
+        dtdy = dt / dy          # every consumer, zero HBM coefficient IO
     else:
         dtdx = dt / (dx * capa)
         dtdy = dt / (dy * capa)
@@ -197,12 +214,18 @@ def step2(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order, fwave,
         q, aux, 1, rp, params, mthlim, order, fwave, dtdy)
 
     # CFL (interfaces touching interior)
-    cflx = jnp.max(jnp.maximum(
-        sx[:, g - 1:nx - g, g:ny - g] * dtdx[None, g:nx - g + 1, g:ny - g],
-        -sx[:, g - 1:nx - g, g:ny - g] * dtdx[None, g - 1:nx - g, g:ny - g]))
-    cfly = jnp.max(jnp.maximum(
-        sy[:, g:nx - g, g - 1:ny - g] * dtdy[None, g:nx - g, g:ny - g + 1],
-        -sy[:, g:nx - g, g - 1:ny - g] * dtdy[None, g:nx - g, g - 1:ny - g]))
+    sx_int = sx[:, g - 1:nx - g, g:ny - g]
+    sy_int = sy[:, g:nx - g, g - 1:ny - g]
+    if capa is None:
+        cflx = dtdx * jnp.max(jnp.abs(sx_int))
+        cfly = dtdy * jnp.max(jnp.abs(sy_int))
+    else:
+        cflx = jnp.max(jnp.maximum(
+            sx_int * dtdx[None, g:nx - g + 1, g:ny - g],
+            -sx_int * dtdx[None, g - 1:nx - g, g:ny - g]))
+        cfly = jnp.max(jnp.maximum(
+            sy_int * dtdy[None, g:nx - g, g:ny - g + 1],
+            -sy_int * dtdy[None, g:nx - g, g - 1:ny - g]))
     cfl = jnp.maximum(cflx, cfly)
 
     # ---- second-order correction fluxes ------------------------------
@@ -212,7 +235,6 @@ def step2(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order, fwave,
 
     # ---- transverse pass (corner transport upwind) -------------------
     if rpt is not None and transverse_waves > 0:
-        # x-interface states for the transverse solves
         def lo(a, axis):
             sl = [slice(None)] * a.ndim
             sl[axis] = slice(0, a.shape[axis] - 1)
@@ -223,14 +245,20 @@ def step2(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order, fwave,
             sl[axis] = slice(1, a.shape[axis])
             return a[tuple(sl)]
 
+        # option 2: transverse-transport the correction waves too
+        if transverse_waves >= 2 and cqxx is not None:
+            amdqx_t, apdqx_t = amdqx + cqxx, apdqx - cqxx
+        else:
+            amdqx_t, apdqx_t = amdqx, apdqx
+
         qx_l, qx_r = lo(q, 1), hi(q, 1)
         auxx_l = auxx_r = None
         if aux is not None:
             auxx_l, auxx_r = lo(aux, 1), hi(aux, 1)
 
         # Split A-ΔQ and A+ΔQ into up/down-going parts.
-        bm_am, bp_am = rpt(0, 1, qx_l, qx_r, auxx_l, auxx_r, amdqx, params)
-        bm_ap, bp_ap = rpt(0, 2, qx_l, qx_r, auxx_l, auxx_r, apdqx, params)
+        bm_am, bp_am = rpt(0, 1, qx_l, qx_r, auxx_l, auxx_r, amdqx_t, params)
+        bm_ap, bp_ap = rpt(0, 2, qx_l, qx_r, auxx_l, auxx_r, apdqx_t, params)
 
         # G~_{i-1, j-1/2} -= dt/(2 dx κ) B-A-ΔQ_{i-1/2,j}
         # G~_{i-1, j+1/2} -= dt/(2 dx κ) B+A-ΔQ_{i-1/2,j}
@@ -240,72 +268,64 @@ def step2(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order, fwave,
         # flux2.f90 uses dtdx1d(i1) = dtdx/aux(i1,j,mcapa) in the gadd
         # updates.  Gy has shape (num_eqn, nx, ny-1): entry (i, jint) =
         # G~_{i, jint+1/2}.  x-interface k (0..nx-2) lies between cells k
-        # (i-1 role) and k+1 (i).
-        half_dtdx = 0.5 * (dt / dx)
-        # contribution arrays indexed by x-interface k and cell j:
-        # map to Gy[i, jint]:  jint = j-1 ("below") or j ("above").
-        def scatter_transverse(G, bm, bp, k_to_cell_offset):
-            # bm, bp: (num_eqn, nx-1, ny) at (x-interface k, cell j)
-            # target cell i = k + k_to_cell_offset (0 for left cell, 1 right)
-            # below: G[i, j-1] -= c*bm  -> shift j by -1 on the G side
-            # above: G[i, j]   -= c*bp
-            num_e, nxm1, nyc = bm.shape
-            contrib = jnp.zeros_like(G)  # (num_eqn, nx, ny-1)
-            i0 = k_to_cell_offset
+        # (i-1 role) and k+1 (i).  Target rows i = k + i0 (i0: 0 = left
+        # cell for the A- parts, 1 = right cell for A+): instead of a
+        # scatter, the (num_eqn, nx-1, ny-1) contribution block is
+        # zero-padded by one row at the far (i0=0) / near (i0=1) end.
+        def transverse_contrib(bm, bp, i0):
+            # bm, bp: (num_eqn, nx-1, ny) at (x-interface k, source cell j)
+            # below-going: source j in [1, ny-1] -> Gy row j-1
+            # above-going: source j in [0, ny-2] -> Gy row j
             if capa is None:
-                c_lo = c_hi = half_dtdx
+                c_lo = c_hi = 0.5 * dtdx
             else:   # per-receiving-cell coefficient (rows match the source)
+                nxm1 = bm.shape[1]
                 c_lo = 0.5 * dtdx[None, i0:i0 + nxm1, 1:]
                 c_hi = 0.5 * dtdx[None, i0:i0 + nxm1, :-1]
-            # below-going: G[:, i, j-1] for j in [1, ny-1] -> Gy index j-1
-            contrib = contrib.at[:, i0:i0 + nxm1, :].add(
-                -c_lo * bm[:, :, 1:])
-            # above-going: G[:, i, j] for j in [0, ny-2]
-            contrib = contrib.at[:, i0:i0 + nxm1, :].add(
-                -c_hi * bp[:, :, :-1])
-            return contrib
+            block = c_lo * bm[:, :, 1:] + c_hi * bp[:, :, :-1]
+            return _pad_axis(block, 1, i0, 1 - i0)
 
-        Gy = Gy + scatter_transverse(Gy, bm_am, bp_am, 0)
-        Gy = Gy + scatter_transverse(Gy, bm_ap, bp_ap, 1)
+        Gy = Gy - transverse_contrib(bm_am, bp_am, 0) \
+                - transverse_contrib(bm_ap, bp_ap, 1)
 
         # y-sweep transverse: split B±ΔQ into left/right-going, modify F~
+        if transverse_waves >= 2 and cqyy is not None:
+            amdqy_t, apdqy_t = amdqy + cqyy, apdqy - cqyy
+        else:
+            amdqy_t, apdqy_t = amdqy, apdqy
+
         qy_l, qy_r = lo(q, 2), hi(q, 2)
         auxy_l = auxy_r = None
         if aux is not None:
             auxy_l, auxy_r = lo(aux, 2), hi(aux, 2)
-        am_bm, ap_bm = rpt(1, 1, qy_l, qy_r, auxy_l, auxy_r, amdqy, params)
-        am_bp, ap_bp = rpt(1, 2, qy_l, qy_r, auxy_l, auxy_r, apdqy, params)
+        am_bm, ap_bm = rpt(1, 1, qy_l, qy_r, auxy_l, auxy_r, amdqy_t, params)
+        am_bp, ap_bp = rpt(1, 2, qy_l, qy_r, auxy_l, auxy_r, apdqy_t, params)
 
-        half_dtdy = 0.5 * (dt / dy)
-
-        def scatter_transverse_y(F, am, ap, k_to_cell_offset):
-            num_e, nxc, nym1 = am.shape
-            contrib = jnp.zeros_like(F)  # (num_eqn, nx-1, ny)
-            j0 = k_to_cell_offset
+        def transverse_contrib_y(am, ap, j0):
             if capa is None:
-                c_lo = c_hi = half_dtdy
+                c_lo = c_hi = 0.5 * dtdy
             else:
+                nym1 = am.shape[2]
                 c_lo = 0.5 * dtdy[None, 1:, j0:j0 + nym1]
                 c_hi = 0.5 * dtdy[None, :-1, j0:j0 + nym1]
-            contrib = contrib.at[:, :, j0:j0 + nym1].add(
-                -c_lo * am[:, 1:, :])
-            contrib = contrib.at[:, :, j0:j0 + nym1].add(
-                -c_hi * ap[:, :-1, :])
-            return contrib
+            block = c_lo * am[:, 1:, :] + c_hi * ap[:, :-1, :]
+            return _pad_axis(block, 2, j0, 1 - j0)
 
-        Fx = Fx + scatter_transverse_y(Fx, am_bm, ap_bm, 0)
-        Fx = Fx + scatter_transverse_y(Fx, am_bp, ap_bp, 1)
+        Fx = Fx - transverse_contrib_y(am_bm, ap_bm, 0) \
+                - transverse_contrib_y(am_bp, ap_bp, 1)
 
     # ---- assemble update ---------------------------------------------
     # cells 1..nx-2 (x) and 1..ny-2 (y)
     qc = q[:, 1:-1, 1:-1]
-    dtdx_c = dtdx[1:-1, 1:-1]
-    dtdy_c = dtdy[1:-1, 1:-1]
+    if capa is None:
+        dtdx_c, dtdy_c = dtdx, dtdy
+    else:
+        dtdx_c, dtdy_c = dtdx[1:-1, 1:-1], dtdy[1:-1, 1:-1]
 
-    dq = (apdqx[:, :-1, 1:-1] + amdqx[:, 1:, 1:-1]) * dtdx_c \
-        + (apdqy[:, 1:-1, :-1] + amdqy[:, 1:-1, 1:]) * dtdy_c \
-        + (Fx[:, 1:, 1:-1] - Fx[:, :-1, 1:-1]) * dtdx_c \
-        + (Gy[:, 1:-1, 1:] - Gy[:, 1:-1, :-1]) * dtdy_c
+    dq = (apdqx[:, :-1, 1:-1] + amdqx[:, 1:, 1:-1]
+          + Fx[:, 1:, 1:-1] - Fx[:, :-1, 1:-1]) * dtdx_c \
+        + (apdqy[:, 1:-1, :-1] + amdqy[:, 1:-1, 1:]
+           + Gy[:, 1:-1, 1:] - Gy[:, 1:-1, :-1]) * dtdy_c
     q_new = qc - dq
 
     return q_new[:, g - 1:nx - 1 - g, g - 1:ny - 1 - g], cfl
@@ -386,7 +406,12 @@ def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
                 a_r = _slc(aux, axis_d, slice(1, shape[d]))
             else:
                 a_l = a_r = None
-            amdq, apdq, _ = waves[d]
+            amdq, apdq, cqdd = waves[d]
+            # transverse_waves >= 2 with order 2: the second-order
+            # correction waves ride the transverse solves too (the 2D
+            # flux2.f90 method(3)==2 trick; flux3.f90's full "22" mode)
+            if transverse_waves >= 2 and cqdd is not None:
+                amdq, apdq = amdq + cqdd, apdq - cqdd
             for e in range(3):                  # transverse axis
                 if e == d:
                     continue

@@ -138,9 +138,10 @@ class ClawSolver2D(ClawSolver):
 
     ``dimensional_split=True`` runs Godunov-split x/y sweeps (step2ds
     path); ``transverse_waves`` ∈ {0,1,2} controls the transverse solves
-    (0 = donor-cell, >0 = corner transport; the reference's distinction
-    between 1 and 2 — transverse of the second-order corrections — is not
-    yet ported and 2 behaves as 1)."""
+    exactly as reference flux2.f90 method(3): 0 = donor-cell (none),
+    1 = corner transport of first-order fluctuations, 2 = additionally
+    transports the second-order correction waves (pinned against an
+    independent numpy oracle in tests/test_transverse_options.py)."""
     num_dim = 2
 
     def __init__(self, riemann_solver=None):

@@ -90,23 +90,39 @@ def _phi_cfl(limiter_id, theta, nu):
 CFL_LIMITER_IDS = (10, 13)
 
 
-def limiter_phi(num_eqn, wave, s, limiter_ids, dtdx=None):
+def _slc(a, axis, sl):
+    idx = [slice(None)] * a.ndim
+    idx[axis] = sl
+    return a[tuple(idx)]
+
+
+def limiter_phi(num_eqn, wave, s, limiter_ids, dtdx=None, axis=-1):
     """Per-wave limiter FACTORS phi (num_waves, *n) — the wave tensor is
     the hot-path's biggest array (num_eqn*num_waves*grid), so the factors
     are computed on reduced (num_waves, *n) arrays and the phi*wave
     multiply is left to the caller to fuse into its consumer (e.g. the
-    correction-flux einsum).  Shifted upwind dot products use slicing +
+    correction-flux reduction).  Shifted upwind dot products use slicing +
     zero edge columns instead of jnp.roll (roll = concatenate = an XLA
     fusion barrier on the big tensor; measured ~10x limiter cost on TPU).
     End interfaces get theta=0; callers arrange ghost interfaces so those
-    never touch interior updates."""
+    never touch interior updates.
+
+    ``axis``: the interface axis, as a NEGATIVE index (so it addresses the
+    same spatial axis in both ``wave`` (num_eqn, num_waves, *n) and ``s`` /
+    the returned phi (num_waves, *n)).  Passing it beats transposing the
+    wave tensor (the old moveaxis path copied the biggest hot-path array
+    twice per sweep)."""
+    if axis >= 0:
+        raise ValueError("limiter_phi axis must be negative")
     num_waves = wave.shape[1]
+    n_ifc = wave.shape[axis]
     wnorm2 = jnp.sum(wave * wave, axis=0)                     # (nw, *n)
-    # d[..., k] = <W_k, W_{k+1}> — one fused pass over the wave tensor
-    d = jnp.sum(wave[..., :-1] * wave[..., 1:], axis=0)       # (nw, n-1)
-    zcol = jnp.zeros_like(d[..., :1])
-    dot_right = jnp.concatenate([d, zcol], axis=-1)
-    dot_left = jnp.concatenate([zcol, d], axis=-1)
+    # d[..., k, ...] = <W_k, W_{k+1}> — one fused pass over the wave tensor
+    d = jnp.sum(_slc(wave, axis, slice(0, n_ifc - 1))
+                * _slc(wave, axis, slice(1, n_ifc)), axis=0)
+    zcol = jnp.zeros_like(_slc(d, axis, slice(0, 1)))
+    dot_right = jnp.concatenate([d, zcol], axis=axis)
+    dot_left = jnp.concatenate([zcol, d], axis=axis)
     dotu = jnp.where(s > 0.0, dot_left, dot_right)
     safe = wnorm2 > 0.0
     theta = jnp.where(safe, dotu / jnp.where(safe, wnorm2, 1.0), 0.0)

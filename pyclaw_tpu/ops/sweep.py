@@ -73,14 +73,16 @@ def step1_pallas(qbc, auxbc, dt, dx, rp, params, mthlim, order, fwave,
         q_new = q[:, 1:-1] - dtdx[1:-1] * dq1
 
         if order == 2:
-            wave_lim = tvd.limit(num_eqn, wave, s, mthlim)
+            # factored phi form (identical to the XLA kernel's traffic
+            # strategy): the limited wave tensor is never materialized
             dtdxave = 0.5 * (dtdx[:-1] + dtdx[1:])
+            phi = tvd.limiter_phi(num_eqn, wave, s, mthlim, dtdx=dtdxave)
             abss = jnp.abs(s)
             if fwave:
                 coef = 0.5 * jnp.sign(s) * (1.0 - abss * dtdxave)
             else:
                 coef = 0.5 * abss * (1.0 - abss * dtdxave)
-            cqxx = jnp.einsum("w...,ew...->e...", coef, wave_lim)
+            cqxx = jnp.sum((coef * phi)[None] * wave, axis=1)
             q_new = q_new - dtdx[1:-1] * (cqxx[:, 1:] - cqxx[:, :-1])
 
         out_ref[:] = q_new[:, g - 1:n - 1 - g]

@@ -19,6 +19,16 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _wsum(coef, wave):
+    """sum_p coef[p] * wave[:, p]  ->  (num_eqn, *n).
+
+    Elementwise multiply + small-axis reduce; fuses on the VPU.  (The old
+    einsum form lowered to a dot_general — a 4x4 batched matvec per grid
+    point that XLA tiles for the MXU, measured ~an order of magnitude
+    slower than this fused reduction on the 2D Euler hot path.)"""
+    return jnp.sum(coef[None] * wave, axis=1)
+
+
 def _roe_averages(q_l, q_r, gamma, vel_idx, e_idx=None):
     """Roe-averaged velocities (one per entry of vel_idx), enthalpy, sound
     speed.  Returns (vels, H, a, a2, (p_l, p_r))."""
@@ -62,8 +72,8 @@ def _rp1_euler_roe(ixy, q_l, q_r, aux_l, aux_r, params, efix=True):
     if not efix:
         sneg = jnp.minimum(s, 0.0)
         spos = jnp.maximum(s, 0.0)
-        amdq = jnp.einsum("w...,ew...->e...", sneg, wave)
-        apdq = jnp.einsum("w...,ew...->e...", spos, wave)
+        amdq = _wsum(sneg, wave)
+        apdq = _wsum(spos, wave)
         return wave, s, amdq, apdq
 
     # Harten entropy fix: transonic 1- and 3-rarefactions get a split speed.
@@ -103,7 +113,7 @@ def _rp1_euler_roe(ixy, q_l, q_r, aux_l, aux_r, params, efix=True):
 
     amdq = sfract1 * w1 + sfract2 * w2 + sfract3 * w3
     # conservation: amdq + apdq = f(q_r) - f(q_l) = sum_p s_p W_p (Roe)
-    df = jnp.einsum("w...,ew...->e...", s, wave)
+    df = _wsum(s, wave)
     apdq = df - amdq
     return wave, s, amdq, apdq
 
@@ -142,8 +152,8 @@ def _rp1_euler_hlle(ixy, q_l, q_r, aux_l, aux_r, params):
     s = jnp.stack([s1, s2])
     sneg = jnp.minimum(s, 0.0)
     spos = jnp.maximum(s, 0.0)
-    amdq = jnp.einsum("w...,ew...->e...", sneg, wave)
-    apdq = jnp.einsum("w...,ew...->e...", spos, wave)
+    amdq = _wsum(sneg, wave)
+    apdq = _wsum(spos, wave)
     return wave, s, amdq, apdq
 
 
@@ -209,8 +219,8 @@ def _rpn2_euler(ixy, q_l, q_r, aux_l, aux_r, params, tracer=False):
     s = jnp.stack(speeds)
     sneg = jnp.minimum(s, 0.0)
     spos = jnp.maximum(s, 0.0)
-    amdq = jnp.einsum("w...,ew...->e...", sneg, wave)
-    apdq = jnp.einsum("w...,ew...->e...", spos, wave)
+    amdq = _wsum(sneg, wave)
+    apdq = _wsum(spos, wave)
     return wave, s, amdq, apdq
 
 
@@ -324,8 +334,8 @@ def _rpn3_euler(ixy, q_l, q_r, aux_l, aux_r, params):
     s = jnp.stack([u - a, u, u, u, u + a])
     sneg = jnp.minimum(s, 0.0)
     spos = jnp.maximum(s, 0.0)
-    amdq = jnp.einsum("w...,ew...->e...", sneg, wave)
-    apdq = jnp.einsum("w...,ew...->e...", spos, wave)
+    amdq = _wsum(sneg, wave)
+    apdq = _wsum(spos, wave)
     return wave, s, amdq, apdq
 
 
