@@ -1,5 +1,8 @@
 """Benchmark: cell-updates/sec/chip on 2D Euler quadrants (BASELINE.json
-primary metric; classic CTU solver, float32, real device).
+primary metric; float32, real device).  Measures BOTH algorithm families:
+
+  - classic CTU (order 2, transverse_waves=2)  -> headline metric
+  - SharpClaw WENO5 + SSP104 (BASELINE cfg4)   -> detail.sharpclaw
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "cell_updates/s", "vs_baseline": N}
@@ -19,57 +22,84 @@ import numpy as np
 BASELINE_CELLS_PER_SEC = 1.0e7
 
 
-def main(mx=1024, my=1024, nsteps=300, dtype="float32"):
+def _measure(step, q, dt, nsteps, n0=20):
+    """Time the traced on-device evolve loop (lax.fori_loop -> ONE
+    dispatch).  Per-call dispatch through the tunneled dev chip costs
+    ~6 ms RPC + ~0.3 s readback; timing per-step python dispatches
+    measures the tunnel, not the chip (validated 2026-08-18:
+    block_until_ready on a short chain returns at enqueue).  Differencing
+    a long and a short run cancels the constant RPC/readback overhead.
+
+    The CFL reduction is carried through the loop and consumed by the
+    final readback so XLA cannot dead-code-eliminate it — the production
+    traced evolve loop always pays it."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def run_n(q0, n):
+        def body(i, carry):
+            qc, cflmax = carry
+            qn, cfl = step(qc, None, dt, 0.0)
+            return qn, jnp.maximum(cflmax, cfl)
+        return lax.fori_loop(0, n, body, (q0, jnp.zeros((), q.dtype)))
+
+    def timed(n):
+        best = float("inf")
+        cfl = None
+        for rep in range(3):
+            t0 = time.perf_counter()
+            out, cflmax = run_n(q, n)
+            # forces completion of the whole chain incl. the reduction
+            s = float(jnp.sum(out[0, ::256, ::256])) + float(cflmax)
+            best = min(best, time.perf_counter() - t0)
+        return best, s
+
+    timed(n0)                        # compile + warm caches
+    t_small, _ = timed(n0)
+    t_big, s_big = timed(n0 + nsteps)
+    return t_big - t_small, bool(np.isfinite(s_big))
+
+
+def main(mx=1024, my=1024, nsteps=300, dtype="float32", sc_steps=60):
     import jax
     import jax.numpy as jnp
 
     sys.path.insert(0, "examples")
     from euler_2d_quadrants import setup
 
+    cells = mx * my
+
+    # ---- classic CTU (headline) ---------------------------------------
     claw = setup(mx=mx, my=my, solver_type="classic", outdir=None,
                  dtype=dtype)
     solver = claw.solver
-    state = claw.solution.state
     solver.setup(claw.solution)
-
-    q = jnp.asarray(state.q)
+    q = jnp.asarray(claw.solution.state.q)
     dt = 0.2 * (1.0 / mx)  # fixed stable dt (CFL ~0.5 for this IC)
-    step = solver._step_fn
-
-    # Measure the PRODUCT execution model: the traced on-device evolve
-    # loop (lax.fori_loop -> ONE dispatch for the whole run).  Per-call
-    # dispatch through the tunneled dev chip costs ~6 ms RPC + ~0.3 s for
-    # the result readback; timing per-step python dispatches measures the
-    # tunnel, not the chip (validated 2026-08-18: block_until_ready on a
-    # short chain returns at enqueue).  Differencing a long and a short
-    # run cancels the constant RPC/readback overhead exactly.
-    from jax import lax
-
-    @jax.jit
-    def run_n(q0, n):
-        def body(i, qc):
-            qn, cfl = step(qc, None, dt, 0.0)
-            return qn
-        return lax.fori_loop(0, n, body, q0)
-
-    def timed(n):
-        best = float("inf")
-        for rep in range(3):
-            t0 = time.perf_counter()
-            out = run_n(q, n)
-            s = float(jnp.sum(out[0, ::256, ::256]))  # forces completion
-            best = min(best, time.perf_counter() - t0)
-        return best, s
-
-    n0 = 20
-    timed(n0)                        # compile + warm caches
-    t_small, _ = timed(n0)
-    t_big, s_big = timed(n0 + nsteps)
-    elapsed = t_big - t_small
-
-    compile_ok = bool(np.isfinite(s_big))
-    cells = mx * my
+    elapsed, compile_ok = _measure(solver._step_fn, q, dt, nsteps)
     cups = cells * nsteps / elapsed
+
+    # ---- SharpClaw WENO5 + SSP104 (BASELINE cfg4) ----------------------
+    sc = {}
+    try:
+        claw2 = setup(mx=mx, my=my, solver_type="sharpclaw", outdir=None,
+                      dtype=dtype)
+        solver2 = claw2.solver
+        solver2.setup(claw2.solution)
+        q2 = jnp.asarray(claw2.solution.state.q)
+        dt2 = 0.1 * (1.0 / mx)
+        el2, ok2 = _measure(solver2._step_fn, q2, dt2, sc_steps)
+        sc = {
+            "cell_updates_per_sec": round(cells * sc_steps / el2, 1),
+            "nsteps": sc_steps,
+            "elapsed_s": round(el2, 4),
+            "compile_finite": ok2,
+        }
+    except Exception as e:  # never let cfg4 sink the headline metric
+        sc = {"error": repr(e)}
+
     result = {
         "metric": "cell_updates_per_sec_per_chip_2d_euler_classic",
         "value": round(cups, 1),
@@ -83,6 +113,7 @@ def main(mx=1024, my=1024, nsteps=300, dtype="float32"):
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
             "compile_finite": compile_ok,
+            "sharpclaw_weno5_ssp104": sc,
         },
     }
     print(json.dumps(result))

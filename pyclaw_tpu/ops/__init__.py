@@ -15,9 +15,9 @@ NOTE (dev-environment): the axon-tunneled TPU in this build environment
 currently fails to compile Mosaic kernels (its remote-compile helper
 returns HTTP 500 even for a trivial pallas_call, 2026-08-17), so
 backend='xla' remains the default; on directly-attached TPUs these
-kernels compile normally.  The XLA backend already measures ~60% of the
-HBM roofline on the 2D Euler bench (16.3 Gcell/s/chip), so the fused
-kernels are an optimization margin, not a correctness dependency.
+kernels compile normally.  Measured XLA-backend throughput and the
+roofline gap live in docs/performance.md — the fused kernels are the
+path to closing it, not a correctness dependency.
 """
 
 from .sweep import step1_pallas  # noqa: F401

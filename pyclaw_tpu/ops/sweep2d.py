@@ -10,9 +10,10 @@ INTO the kernel (the Pallas analog of the reference passing f2py
 
 This is the single-block version: the ghost-padded array must fit VMEM
 (~16 MB ⇒ up to ~256x256xf32x4eqn comfortably); production grids run the
-XLA backend (already ~60% of the HBM roofline) or a future multi-block
-variant with halo-apron DMA.  Interpret mode on CPU makes it a test
-oracle against the XLA kernel (SURVEY.md §4 dual-path consistency).
+XLA backend (see docs/performance.md for the measured cell-updates/s and
+roofline accounting).  Interpret mode on CPU makes it a smoke path only —
+it calls the SAME kernel body as the XLA backend, so it is NOT an
+independent oracle.
 """
 
 from __future__ import annotations
