@@ -7,4 +7,4 @@ scipy — the reference's netCDF4 library is absent here), and ``binary``
 (read support for Fortran-binary frames).
 """
 
-VALID_FORMATS = ("ascii", "hdf5", "netcdf", "binary")
+VALID_FORMATS = ("ascii", "hdf5", "netcdf", "binary", "sharded")

@@ -9,7 +9,9 @@ backend within roundoff are a test oracle (SURVEY.md §4).
 
 On non-TPU platforms the kernels run in Pallas interpret mode (the
 "sanitizer" mode of SURVEY.md §5.2), so the whole test suite exercises
-them on CPU.
+them on CPU.  weno5 and step1 are independent re-derivations and serve
+as dual-backend oracles; the single-block step2 wrapper reuses the XLA
+kernel body and is a smoke path only.
 
 NOTE (dev-environment): the axon-tunneled TPU in this build environment
 currently fails to compile Mosaic kernels (its remote-compile helper

@@ -25,11 +25,13 @@ masking — the analog of petclaw/geometry.py ownership flags); periodic BCs
 ride the ppermute ring wrap for free.
 """
 
-from ..controller import Controller  # noqa: F401
 from ..geometry import Dimension, Domain, Grid, Patch  # noqa: F401
 from ..solution import Solution  # noqa: F401
 from ..solver import BC  # noqa: F401
 from ..state import State  # noqa: F401
+from .controller import Controller  # noqa: F401 (process-aware, sharded IO)
+from .distributed import (init_distributed, is_main_process,  # noqa: F401
+                          process_count, process_index)
 from .mesh import make_mesh  # noqa: F401
 from .solver import (ClawSolver1D, ClawSolver2D, ClawSolver3D,  # noqa: F401
                      SharpClawSolver1D, SharpClawSolver2D, SharpClawSolver3D)

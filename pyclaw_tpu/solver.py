@@ -170,8 +170,16 @@ class Solver:
     def _push(self, state):
         self._q_dev = jnp.asarray(state.q)
         self._aux_dev = None if state.aux is None else jnp.asarray(state.aux)
+        state.q_dev = self._q_dev
 
     def _pull(self, state):
+        state.q_dev = self._q_dev   # sharded-IO seam: fileio.sharded writes
+        #                             the device array, never a gather
+        if not getattr(self._q_dev, "is_fully_addressable", True):
+            # multi-host: the global array cannot materialize on one host;
+            # state.q keeps the device handle (sharded IO consumes q_dev)
+            state.q = self._q_dev
+            return
         q = np.asarray(self._q_dev)
         if not q.flags.writeable:      # zero-copy views of jax arrays are
             q = q.copy()               # read-only; hooks may mutate state.q

@@ -62,6 +62,9 @@ class State:
         self.F = None
         self.keep_gauges = False
         self.gauge_data = []
+        # the solver's live device array (possibly sharded across hosts);
+        # set by Solver._push/_pull — the collective-IO seam reads it
+        self.q_dev = None
 
     # ------------------------------------------------------------------
     @property
