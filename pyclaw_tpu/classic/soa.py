@@ -1,0 +1,193 @@
+"""SoA (struct-of-2D-arrays) fast path for the classic 2D unsplit step.
+
+Performance rebuild of ``step2.f90 + flux2.f90`` (SURVEY.md §2.2) in the
+dataflow XLA fuses best on TPU.  The generic kernel (`kernels.step2`)
+carries an AoS wave tensor ``(num_eqn, num_waves, nx, ny)`` — profiling
+the compiled step on a v5e (tools/hlo_traffic.py) shows that tensor is
+materialized to HBM and re-read ~4x per sweep (limiter dot products,
+correction flux, fluctuation sums), dominating step time.  Here every
+wave component stays an independent 2D ``(nx, ny)`` value inside one
+fused elementwise chain: XLA recomputes the cheap Roe algebra per
+consumer instead of spilling 67 MB tensors (measured ~1.9x on the
+x-sweep alone, tools/proto_soa.py).
+
+Protocol (per Riemann solver, attached to the registry record):
+
+    rpn_soa(ixy, qs_l, qs_r, params) -> (waves, speeds)
+        qs_l/qs_r : tuple over equations of 2D interface-side arrays
+        waves     : tuple over waves p of tuples over equations e of
+                    2D arrays (or None for identically-zero components)
+        speeds    : tuple over p of 2D arrays OR weak-typed scalars
+    rpt_soa(ixy, imp, qs_l, qs_r, asdq, params) -> (bm, bp)
+        asdq      : tuple over e of 2D arrays; returns two such tuples
+
+Fluctuations are combined generically (Godunov: amdq = sum_p s_p^- W_p),
+so entropy-fix solvers with custom amdq stay on the generic kernel.
+Numerics are identical to kernels.step2 (same index algebra, same
+limiter semantics) — pinned by tests/test_soa.py equality oracles and
+the shared golden suite.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..limiters import tvd
+
+
+def _lo(a, axis):
+    return a[:-1] if axis == 0 else a[:, :-1]
+
+
+def _hi(a, axis):
+    return a[1:] if axis == 0 else a[:, 1:]
+
+
+def _pad(a, axis, before, after):
+    pads = [(0, 0), (0, 0)]
+    pads[axis] = (before, after)
+    return jnp.pad(a, pads)
+
+
+def _phi_soa(comps, s, lid, dtdx, axis):
+    """Limiter factor for ONE wave family — same semantics as
+    tvd.limiter_phi (upwind dot-product theta, phi=1 where the wave
+    vanishes, theta=0 at end interfaces)."""
+    live = [c for c in comps if c is not None]
+    wn2 = sum(c * c for c in live)
+    d = sum(_lo(c, axis) * _hi(c, axis) for c in live)
+    z = jnp.zeros_like(d[:1] if axis == 0 else d[:, :1])
+    dot_r = jnp.concatenate([d, z], axis=axis)
+    dot_l = jnp.concatenate([z, d], axis=axis)
+    dotu = jnp.where(s > 0.0, dot_l, dot_r)
+    safe = wn2 > 0.0
+    theta = jnp.where(safe, dotu / jnp.where(safe, wn2, 1.0), 0.0)
+    if int(lid) in tvd.CFL_LIMITER_IDS:
+        phi = tvd._phi_cfl(int(lid), theta, jnp.abs(s) * dtdx)
+    else:
+        phi = tvd._phi(int(lid), theta)
+    return jnp.where(safe, phi, 1.0)
+
+
+def _sweep_soa(qs, axis, rpn_soa, params, mthlim, order, dtdx):
+    """Normal sweep along `axis` of the 2D component arrays.
+
+    Returns (amdq, apdq, cq, smax) — per-equation 2D lists at interfaces
+    (length n-1 along `axis`), plus the per-wave speed list for CFL."""
+    ne = len(qs)
+    ql = tuple(_lo(c, axis) for c in qs)
+    qr = tuple(_hi(c, axis) for c in qs)
+    waves, speeds = rpn_soa(axis, ql, qr, params)
+    nw = len(waves)
+
+    phis = [None] * nw
+    if order == 2:
+        for p in range(nw):
+            lid = mthlim[p] if p < len(mthlim) else mthlim[-1]
+            if lid != 0:
+                phis[p] = _phi_soa(waves[p], speeds[p], lid, dtdx, axis)
+
+    amdq, apdq, cq = [], [], []
+    for e in range(ne):
+        am = ap = c = None
+        for p in range(nw):
+            w = waves[p][e]
+            if w is None:
+                continue
+            sp = speeds[p]
+            am_t = jnp.minimum(sp, 0.0) * w
+            ap_t = jnp.maximum(sp, 0.0) * w
+            am = am_t if am is None else am + am_t
+            ap = ap_t if ap is None else ap + ap_t
+            if order == 2:
+                absp = jnp.abs(sp)
+                coef = 0.5 * absp * (1.0 - absp * dtdx)
+                c_t = coef * w if phis[p] is None else coef * phis[p] * w
+                c = c_t if c is None else c + c_t
+        zero = jnp.zeros_like(ql[0])
+        amdq.append(am if am is not None else zero)
+        apdq.append(ap if ap is not None else zero)
+        cq.append((c if c is not None else zero) if order == 2 else None)
+    return amdq, apdq, cq, speeds
+
+
+def _abs_max(s, sl):
+    if jnp.ndim(s) == 0:
+        return jnp.abs(s)
+    return jnp.max(jnp.abs(s[sl]))
+
+
+def step2_soa(q, dt, dx, dy, rpn_soa, rpt_soa, params, mthlim, order,
+              num_ghost, transverse_waves=2):
+    """2D unsplit classic step, SoA dataflow.  Same contract as
+    kernels.step2 restricted to aux=None / no capacity function:
+    q (num_eqn, nx, ny) ghost-padded -> (q_interior, cfl)."""
+    g = num_ghost
+    num_eqn, nx, ny = q.shape
+    dtdx = dt / dx
+    dtdy = dt / dy
+    qs = tuple(q[e] for e in range(num_eqn))
+
+    amdqx, apdqx, cqxx, sx = _sweep_soa(qs, 0, rpn_soa, params, mthlim,
+                                        order, dtdx)
+    amdqy, apdqy, cqyy, sy = _sweep_soa(qs, 1, rpn_soa, params, mthlim,
+                                        order, dtdy)
+
+    # CFL over interfaces touching the interior (same slices as step2)
+    from functools import reduce
+    slx = (slice(g - 1, nx - g), slice(g, ny - g))
+    sly = (slice(g, nx - g), slice(g - 1, ny - g))
+    cflx = dtdx * reduce(jnp.maximum, (_abs_max(s, slx) for s in sx))
+    cfly = dtdy * reduce(jnp.maximum, (_abs_max(s, sly) for s in sy))
+    cfl = jnp.maximum(cflx, cfly)
+
+    # NOTE list() copies: the transverse loops mutate Fx/Gy in place and
+    # the y-side fold must still read the ORIGINAL cqyy
+    Fx = list(cqxx) if order == 2 else [jnp.zeros_like(a) for a in amdqx]
+    Gy = list(cqyy) if order == 2 else [jnp.zeros_like(a) for a in amdqy]
+
+    if rpt_soa is not None and transverse_waves > 0:
+        qx_l = tuple(_lo(c, 0) for c in qs)
+        qx_r = tuple(_hi(c, 0) for c in qs)
+        if transverse_waves >= 2 and order == 2:
+            am_x = [a + c for a, c in zip(amdqx, cqxx)]
+            ap_x = [a - c for a, c in zip(apdqx, cqxx)]
+        else:
+            am_x, ap_x = amdqx, apdqx
+        bm_am, bp_am = rpt_soa(0, 1, qx_l, qx_r, tuple(am_x), params)
+        bm_ap, bp_ap = rpt_soa(0, 2, qx_l, qx_r, tuple(ap_x), params)
+
+        # x-interface k feeds Gy rows k (A- parts) / k+1 (A+ parts);
+        # below-going from source cell j>=1 -> Gy col j-1, above-going
+        # from j<=ny-2 -> col j (same algebra as kernels.step2).
+        half_dtdx = 0.5 * dtdx
+        for e in range(num_eqn):
+            blk0 = half_dtdx * (bm_am[e][:, 1:] + bp_am[e][:, :-1])
+            blk1 = half_dtdx * (bm_ap[e][:, 1:] + bp_ap[e][:, :-1])
+            Gy[e] = Gy[e] - _pad(blk0, 0, 0, 1) - _pad(blk1, 0, 1, 0)
+
+        qy_l = tuple(_lo(c, 1) for c in qs)
+        qy_r = tuple(_hi(c, 1) for c in qs)
+        if transverse_waves >= 2 and order == 2:
+            am_y = [a + c for a, c in zip(amdqy, cqyy)]
+            ap_y = [a - c for a, c in zip(apdqy, cqyy)]
+        else:
+            am_y, ap_y = amdqy, apdqy
+        am_bm, ap_bm = rpt_soa(1, 1, qy_l, qy_r, tuple(am_y), params)
+        am_bp, ap_bp = rpt_soa(1, 2, qy_l, qy_r, tuple(ap_y), params)
+
+        half_dtdy = 0.5 * dtdy
+        for e in range(num_eqn):
+            blk0 = half_dtdy * (am_bm[e][1:, :] + ap_bm[e][:-1, :])
+            blk1 = half_dtdy * (am_bp[e][1:, :] + ap_bp[e][:-1, :])
+            Fx[e] = Fx[e] - _pad(blk0, 1, 0, 1) - _pad(blk1, 1, 1, 0)
+
+    out = []
+    for e in range(num_eqn):
+        dq = (apdqx[e][:-1, 1:-1] + amdqx[e][1:, 1:-1]
+              + Fx[e][1:, 1:-1] - Fx[e][:-1, 1:-1]) * dtdx \
+            + (apdqy[e][1:-1, :-1] + amdqy[e][1:-1, 1:]
+               + Gy[e][1:-1, 1:] - Gy[e][1:-1, :-1]) * dtdy
+        out.append(qs[e][1:-1, 1:-1] - dq)
+    q_new = jnp.stack(out)
+    return q_new[:, g - 1:nx - 1 - g, g - 1:ny - 1 - g], cfl

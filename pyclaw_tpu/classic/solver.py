@@ -124,12 +124,10 @@ class ClawSolver1D(ClawSolver):
         else:
             step1_fn = kernels.step1
 
-        def hyper(q, aux, dt, t):
-            qbc, auxbc = self._extend_bc(q, aux, t, state)
-            q_new, cfl = step1_fn(qbc, auxbc, dt, dx, rp, params,
-                                  mthlim, order, fwave, index_capa, g)
-            return q_new, cfl
-        return hyper
+        def kern(qbc, auxbc, dt, t):
+            return step1_fn(qbc, auxbc, dt, dx, rp, params,
+                            mthlim, order, fwave, index_capa, g)
+        return self._wrap_bc_kernel(kern, state)
 
 
 class ClawSolver2D(ClawSolver):
@@ -148,6 +146,7 @@ class ClawSolver2D(ClawSolver):
         super().__init__(riemann_solver)
         self.dimensional_split = False
         self.transverse_waves = 2
+        self.use_soa = True   # False forces the generic AoS kernel
 
     def _make_hyperbolic_step(self, state):
         rp = self.rp.rp
@@ -161,30 +160,59 @@ class ClawSolver2D(ClawSolver):
         dx, dy = state.patch.delta
 
         if self.dimensional_split:
-            def hyper(q, aux, dt, t):
-                # Godunov splitting: x sweep then y sweep (step2ds x2)
-                qbc, auxbc = self._extend_bc(q, aux, t, state)
-                qx, cflx = kernels.step1_dir(qbc, auxbc, dt, dx, 0, rp,
-                                             params, mthlim, order, fwave,
-                                             index_capa, g)
-                qbc2, auxbc2 = self._extend_bc(qx, aux, t, state)
-                qy, cfly = kernels.step1_dir(qbc2, auxbc2, dt, dy, 1, rp,
-                                             params, mthlim, order, fwave,
-                                             index_capa, g)
-                return qy, jnp.maximum(cflx, cfly)
-        else:
-            tw = self.transverse_waves
-            if self.backend == "pallas":
-                from ..ops import step2_pallas as step2_fn
-            else:
-                step2_fn = kernels.step2
+            def kern_x(qbc, auxbc, dt, t):
+                return kernels.step1_dir(qbc, auxbc, dt, dx, 0, rp, params,
+                                         mthlim, order, fwave, index_capa, g)
+
+            def kern_y(qbc, auxbc, dt, t):
+                return kernels.step1_dir(qbc, auxbc, dt, dy, 1, rp, params,
+                                         mthlim, order, fwave, index_capa, g)
+            step_x = self._wrap_bc_kernel(kern_x, state)
+            step_y = self._wrap_bc_kernel(kern_y, state)
 
             def hyper(q, aux, dt, t):
-                qbc, auxbc = self._extend_bc(q, aux, t, state)
-                return step2_fn(qbc, auxbc, dt, dx, dy, rp, rpt, params,
-                                mthlim, order, fwave, index_capa, g,
-                                transverse_waves=tw)
-        return hyper
+                # Godunov splitting: x sweep then y sweep (step2ds x2)
+                qx, cflx = step_x(q, aux, dt, t)
+                qy, cfly = step_y(qx, aux, dt, t)
+                return qy, jnp.maximum(cflx, cfly)
+            return hyper
+
+        tw = self.transverse_waves
+        if self.backend == "pallas":
+            from ..ops import step2_pallas as step2_fn
+        elif self._soa_eligible(state):
+            # SoA fast path (classic/soa.py): same numerics, the
+            # dataflow XLA fuses best on TPU — ~2x the AoS kernel
+            from . import soa
+            rpn_soa = self.rp.rpn_soa
+            rpt_soa = self.rp.rpt_soa
+
+            def kern_soa(qbc, auxbc, dt, t):
+                return soa.step2_soa(qbc, dt, dx, dy, rpn_soa, rpt_soa,
+                                     params, mthlim, order, g,
+                                     transverse_waves=tw)
+            return self._wrap_bc_kernel(kern_soa, state)
+        else:
+            step2_fn = kernels.step2
+
+        def kern(qbc, auxbc, dt, t):
+            return step2_fn(qbc, auxbc, dt, dx, dy, rp, rpt, params,
+                            mthlim, order, fwave, index_capa, g,
+                            transverse_waves=tw)
+        return self._wrap_bc_kernel(kern, state)
+
+    def _soa_eligible(self, state):
+        """The SoA fast path covers the no-aux / no-capacity / wave-form
+        case for Riemann solvers providing SoA variants (and the rpt_soa
+        hook whenever transverse solves will run)."""
+        if getattr(self, "use_soa", True) is False:
+            return False
+        return (self.rp.rpn_soa is not None
+                and state.aux is None
+                and state.index_capa < 0
+                and not self.fwave
+                and (self.transverse_waves == 0
+                     or self.rp.rpt_soa is not None))
 
 
 class ClawSolver3D(ClawSolver):
@@ -230,21 +258,26 @@ class ClawSolver3D(ClawSolver):
         dx, dy, dz = state.patch.delta
 
         if self.dimensional_split:
-            def hyper(q, aux, dt, t):
-                cfl = 0.0
-                for ixy, dxi in ((0, dx), (1, dy), (2, dz)):
-                    qbc, auxbc = self._extend_bc(q, aux, t, state)
-                    q, c = kernels.step1_dir(qbc, auxbc, dt, dxi, ixy, rp,
+            steps = []
+            for ixy, dxi in ((0, dx), (1, dy), (2, dz)):
+                def kern(qbc, auxbc, dt, t, _ixy=ixy, _dxi=dxi):
+                    return kernels.step1_dir(qbc, auxbc, dt, _dxi, _ixy, rp,
                                              params, mthlim, order, fwave,
                                              index_capa, g)
-                    cfl = jnp.maximum(cfl, c)
-                return q, cfl
-        else:
-            tw = self.transverse_waves
+                steps.append(self._wrap_bc_kernel(kern, state))
 
             def hyper(q, aux, dt, t):
-                qbc, auxbc = self._extend_bc(q, aux, t, state)
-                return kernels.step3(qbc, auxbc, dt, dx, dy, dz, rp, rpt,
-                                     rptt, params, mthlim, order, fwave,
-                                     index_capa, g, transverse_waves=tw)
-        return hyper
+                cfl = 0.0
+                for step_d in steps:
+                    q, c = step_d(q, aux, dt, t)
+                    cfl = jnp.maximum(cfl, c)
+                return q, cfl
+            return hyper
+
+        tw = self.transverse_waves
+
+        def kern(qbc, auxbc, dt, t):
+            return kernels.step3(qbc, auxbc, dt, dx, dy, dz, rp, rpt,
+                                 rptt, params, mthlim, order, fwave,
+                                 index_capa, g, transverse_waves=tw)
+        return self._wrap_bc_kernel(kern, state)

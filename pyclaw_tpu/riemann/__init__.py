@@ -42,6 +42,10 @@ class RiemannSolver:
         self.rpt = rpt        # transverse solver (2D/3D)
         self.rptt = rptt      # double-transverse solver (3D)
         self.evec = None      # eigenvector hook for char_decomp (evec.f90)
+        # SoA fast-path variants (classic/soa.py protocol); optional —
+        # solvers without them run the generic AoS kernels
+        self.rpn_soa = None
+        self.rpt_soa = None
         # physical-admissibility predicate fn(q, aux, params) -> bool[*n];
         # used by SharpClaw to fall back to first-order reconstruction in
         # cells whose WENO edge states would be unphysical (negative

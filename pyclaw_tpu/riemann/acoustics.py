@@ -66,6 +66,41 @@ def _rpt_acoustics(ixy, imp, q_l, q_r, aux_l, aux_r, asdq, params):
     return bmasdq, bpasdq
 
 
+# ---- SoA fast-path variants (classic/soa.py protocol) ----------------
+def _rp_acoustics_soa(ixy, q_l, q_r, params):
+    zz, cc = _zc(params)
+    mu = 1 + ixy
+    dp = q_r[0] - q_l[0]
+    dv = q_r[mu] - q_l[mu]
+    a1 = (-dp + zz * dv) / (2.0 * zz)
+    a2 = (dp + zz * dv) / (2.0 * zz)
+
+    def mk(p_c, u_c):
+        comp = [None] * len(q_l)
+        comp[0] = p_c
+        comp[mu] = u_c
+        return tuple(comp)
+
+    waves = (mk(-a1 * zz, a1), mk(a2 * zz, a2))
+    speeds = (-cc, cc)          # weak-typed scalars: fuse, no broadcast
+    return waves, speeds
+
+
+def _rpt_acoustics_soa(ixy, imp, q_l, q_r, asdq, params):
+    zz, cc = _zc(params)
+    mv = 2 - ixy
+    a1 = (-asdq[0] + zz * asdq[mv]) / (2.0 * zz)
+    a2 = (asdq[0] + zz * asdq[mv]) / (2.0 * zz)
+    zero = jnp.zeros_like(asdq[0])
+    bm = [zero] * len(q_l)
+    bp = [zero] * len(q_l)
+    bm[0] = cc * a1 * zz
+    bm[mv] = -cc * a1
+    bp[0] = cc * a2 * zz
+    bp[mv] = cc * a2
+    return tuple(bm), tuple(bp)
+
+
 def _rpt3_acoustics(ixy, imp, q_l, q_r, aux_l, aux_r, asdq, params,
                     trans_axis=None):
     """3D transverse split along `trans_axis` (defaults to the next axis)."""
@@ -116,6 +151,8 @@ acoustics_1D.evec = _evec_acoustics
 acoustics_2D = RiemannSolver("acoustics_2D", 2, 3, 2, _rp_acoustics,
                              rpt=_rpt_acoustics)
 acoustics_2D.evec = _evec_acoustics
+acoustics_2D.rpn_soa = _rp_acoustics_soa
+acoustics_2D.rpt_soa = _rpt_acoustics_soa
 def _rptt3_acoustics(ixy, icoor, imp, impt, q_l, q_r, aux_l, aux_r,
                      bsasdq, params, trans_axis=None):
     """Double-transverse acoustic split: same eigenstructure, applied

@@ -232,6 +232,139 @@ def _rpn2_euler_5wave(ixy, q_l, q_r, aux_l, aux_r, params):
     return _rpn2_euler(ixy, q_l, q_r, aux_l, aux_r, params, tracer=True)
 
 
+# ---- SoA fast-path variants (classic/soa.py protocol) ----------------
+def _roe_averages_soa(q_l, q_r, gamma, mu, mv):
+    """2D-array Roe averages, expression-for-expression the same algebra
+    as _roe_averages so the SoA path reproduces the generic kernels to
+    roundoff."""
+    rho_l, rho_r = q_l[0], q_r[0]
+    srl, srr = jnp.sqrt(rho_l), jnp.sqrt(rho_r)
+    w = 1.0 / (srl + srr)
+    u = (q_l[mu] / rho_l * srl + q_r[mu] / rho_r * srr) * w
+    v = (q_l[mv] / rho_l * srl + q_r[mv] / rho_r * srr) * w
+    ke_l = 0.5 * (q_l[mu] ** 2 + q_l[mv] ** 2) / rho_l
+    ke_r = 0.5 * (q_r[mu] ** 2 + q_r[mv] ** 2) / rho_r
+    p_l = (gamma - 1.0) * (q_l[3] - ke_l)
+    p_r = (gamma - 1.0) * (q_r[3] - ke_r)
+    H = (srl * ((q_l[3] + p_l) / rho_l) + srr * ((q_r[3] + p_r) / rho_r)) * w
+    a2 = (gamma - 1.0) * (H - 0.5 * (u * u + v * v))
+    return u, v, H, a2, jnp.sqrt(a2)
+
+
+def _rpn2_euler_soa(ixy, q_l, q_r, params, tracer=False):
+    """rpn2_euler_4wave/5wave in SoA form (waves as per-equation 2D
+    arrays; see classic/soa.py)."""
+    gamma = params["gamma"]
+    g1 = gamma - 1.0
+    mu = 1 + ixy
+    mv = 2 - ixy
+    u, v, H, a2, a = _roe_averages_soa(q_l, q_r, gamma, mu, mv)
+
+    d0 = q_r[0] - q_l[0]
+    dmu = q_r[mu] - q_l[mu]
+    dmv = q_r[mv] - q_l[mv]
+    dE = q_r[3] - q_l[3]
+
+    euv = H - (u * u + v * v)
+    a3 = g1 / a2 * (euv * d0 + u * dmu + v * dmv - dE)
+    a2w = dmv - v * d0
+    a4 = (dmu + (a - u) * d0 - a * a3) / (2.0 * a)
+    a1 = d0 - a3 - a4
+
+    def mk(rho_c, mu_c, mv_c, e_c, t_c=None):
+        comp = [None] * len(q_l)
+        comp[0] = rho_c
+        comp[mu] = mu_c
+        comp[mv] = mv_c
+        comp[3] = e_c
+        if tracer:
+            comp[4] = t_c
+        return tuple(comp)
+
+    if tracer:
+        srl, srr = jnp.sqrt(q_l[0]), jnp.sqrt(q_r[0])
+        phat = (srl * (q_l[4] / q_l[0]) + srr * (q_r[4] / q_r[0])) \
+            / (srl + srr)
+        t1, t2, t4 = a1 * phat, a3 * phat, a4 * phat
+        a5 = (q_r[4] - q_l[4]) - phat * d0
+    else:
+        t1 = t2 = t4 = None
+        a5 = None
+
+    waves = [
+        mk(a1, a1 * (u - a), a1 * v, a1 * (H - u * a), t1),
+        mk(a3, a3 * u, a3 * v, a3 * 0.5 * (u * u + v * v), t2),
+        mk(None, None, a2w, a2w * v, None),
+        mk(a4, a4 * (u + a), a4 * v, a4 * (H + u * a), t4),
+    ]
+    speeds = [u - a, u, u, u + a]
+    if tracer:
+        waves.append(mk(None, None, None, None, a5))
+        speeds.append(u)
+    return tuple(waves), tuple(speeds)
+
+
+def _rpn2_euler_4wave_soa(ixy, q_l, q_r, params):
+    return _rpn2_euler_soa(ixy, q_l, q_r, params, tracer=False)
+
+
+def _rpn2_euler_5wave_soa(ixy, q_l, q_r, params):
+    return _rpn2_euler_soa(ixy, q_l, q_r, params, tracer=True)
+
+
+def _rpt2_euler_soa(ixy, imp, q_l, q_r, asdq, params):
+    """rpt2_euler in SoA form: same eigen-algebra as _rpt2_euler."""
+    gamma = params["gamma"]
+    g1 = gamma - 1.0
+    mu = 1 + ixy
+    mv = 2 - ixy
+    u, v, H, a2, a = _roe_averages_soa(q_l, q_r, gamma, mu, mv)
+
+    d0, dmu, dmv, dE = asdq[0], asdq[mu], asdq[mv], asdq[3]
+    euv = H - (u * u + v * v)
+    b3 = g1 / a2 * (euv * d0 + u * dmu + v * dmv - dE)
+    b2w = dmu - u * d0
+    b4 = (dmv + (a - v) * d0 - a * b3) / (2.0 * a)
+    b1 = d0 - b3 - b4
+
+    def mk(rho_c, mu_c, mv_c, e_c):
+        comp = [None] * len(q_l)
+        comp[0] = rho_c
+        comp[mu] = mu_c
+        comp[mv] = mv_c
+        comp[3] = e_c
+        return tuple(comp)
+
+    waves = (
+        mk(b1, b1 * u, b1 * (v - a), b1 * (H - v * a)),
+        mk(b3, b3 * u, b3 * v, b3 * 0.5 * (u * u + v * v)),
+        mk(None, b2w, None, b2w * u),
+        mk(b4, b4 * u, b4 * (v + a), b4 * (H + v * a)),
+    )
+    speeds = (v - a, v, v, v + a)
+
+    num_eqn = len(q_l)
+    bm = [None] * num_eqn
+    bp = [None] * num_eqn
+    for e in range(num_eqn):
+        for w, sp in zip(waves, speeds):
+            if w[e] is None:
+                continue
+            bm_t = jnp.minimum(sp, 0.0) * w[e]
+            bp_t = jnp.maximum(sp, 0.0) * w[e]
+            bm[e] = bm_t if bm[e] is None else bm[e] + bm_t
+            bp[e] = bp_t if bp[e] is None else bp[e] + bp_t
+    if num_eqn == 5:    # passive tracer rides the transverse flow
+        t_m = jnp.minimum(v, 0.0) * asdq[4]
+        t_p = jnp.maximum(v, 0.0) * asdq[4]
+        bm[4] = t_m if bm[4] is None else bm[4] + t_m
+        bp[4] = t_p if bp[4] is None else bp[4] + t_p
+    zero = jnp.zeros_like(asdq[0])
+    bm = [zero if b is None else b for b in bm]
+    bp = [zero if b is None else b for b in bp]
+    return tuple(bm), tuple(bp)
+
+
 def _rpt2_euler(ixy, imp, q_l, q_r, aux_l, aux_r, asdq, params):
     """Transverse Roe solve (rpt2_euler.f90): split asdq into up/down-going
     parts using the eigenstructure of the transverse-direction Jacobian at
@@ -535,9 +668,13 @@ euler_hlle_1D = RiemannSolver("euler_hlle_1D", 1, 3, 2,
 euler_4wave_2D = RiemannSolver("euler_4wave_2D", 2, 4, 4,
                                _rpn2_euler_4wave, rpt=_rpt2_euler,
                                requires=("gamma",))
+euler_4wave_2D.rpn_soa = _rpn2_euler_4wave_soa
+euler_4wave_2D.rpt_soa = _rpt2_euler_soa
 euler_5wave_2D = RiemannSolver("euler_5wave_2D", 2, 5, 5,
                                _rpn2_euler_5wave, rpt=_rpt2_euler,
                                requires=("gamma",))
+euler_5wave_2D.rpn_soa = _rpn2_euler_5wave_soa
+euler_5wave_2D.rpt_soa = _rpt2_euler_soa
 euler_3D = RiemannSolver("euler_3D", 3, 5, 5, _rpn3_euler,
                          rpt=_rpt3_euler, rptt=_rptt3_euler,
                          requires=("gamma",))
