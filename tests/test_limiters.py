@@ -13,7 +13,8 @@ def _tv(q):
     return np.abs(np.diff(q, append=q[0])).sum()
 
 
-@pytest.mark.parametrize("lid", [1, 2, 3, 4, 7, 8, 9, 10, 13, 17, 19])
+@pytest.mark.parametrize("lid", [1, 2, 3, 4, 7, 8, 9, 10, 11, 12, 13, 14,
+                                 15, 16, 17, 18, 19, 20, 21])
 def test_limiter_tvd_property(lid):
     solver = pyclaw.ClawSolver1D(riemann.advection_1D)
     solver.limiters = [lid]
