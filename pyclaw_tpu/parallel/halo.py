@@ -31,6 +31,27 @@ def _take(q, axis, sl):
     return q[tuple(idx)]
 
 
+def extend_serial_only(q, num_ghost, bc_lower, bc_upper, axis_names,
+                       wall_reflects=True):
+    """Extend ONLY the unsharded axes (serial physical BCs); sharded axes
+    are left raw.  This is the comm-free input of the interior piece in
+    the overlapped step (parallel/solver.py): its ghost data is entirely
+    local, so XLA can schedule the big interior kernel before/while the
+    face ppermutes are in flight."""
+    g = num_ghost
+    num_dim = q.ndim - 1
+    for d in range(num_dim):
+        name = axis_names[d] if d < len(axis_names) else None
+        if name is not None:
+            continue
+        axis = 1 + d
+        normal = (1 + d) if wall_reflects else None
+        lo = _ghost_slices(q, axis, g, bc_lower[d], 0, normal)
+        hi = _ghost_slices(q, axis, g, bc_upper[d], 1, normal)
+        q = jnp.concatenate([lo, q, hi], axis=axis)
+    return q
+
+
 def extend_local(q, num_ghost, bc_lower, bc_upper, axis_names,
                  wall_reflects=True):
     """Extend a local block with ghost cells on every spatial axis.

@@ -24,20 +24,20 @@ from .mesh import AXIS_NAMES, make_mesh
 
 
 class _DistributedMixin:
-    """Mixin carrying the mesh + the two distributed seams."""
+    """Mixin carrying the mesh + the three distributed seams
+    (_extend_bc, _wrap_bc_kernel, _finalize_step)."""
 
     def __init__(self, riemann_solver=None, mesh=None):
         super().__init__(riemann_solver)
         self.mesh = mesh
+        # Overlap halo exchange with interior compute (SURVEY.md §2.10
+        # "north star requires this"); False = blocking halo prefix.
+        self.overlap_halo = True
 
     # -- seam 1: halo exchange (replaces serial BC extension) ----------
     def _extend_bc(self, q, aux, t, state):
         g = self.num_ghost
         names = self._axis_names
-        if any(bc == BC.custom for bc in
-               list(self.bc_lower) + list(self.bc_upper)):
-            raise NotImplementedError(
-                "custom BCs in distributed mode not yet supported")
         qbc = halo.extend_local(q, g, self.bc_lower, self.bc_upper, names,
                                 wall_reflects=True)
         auxbc = None
@@ -45,9 +45,127 @@ class _DistributedMixin:
             auxbc = halo.extend_local(aux, g, self.aux_bc_lower,
                                       self.aux_bc_upper, names,
                                       wall_reflects=False)
+        return self._apply_custom_bcs(qbc, auxbc, t, state, names)
+
+    def _owner_select(self, name, side, new, old):
+        """Keep `new` only on the shard owning that physical boundary
+        (the analog of petclaw/geometry.py ownership flags)."""
+        if name is None:
+            return new
+        idx = lax.axis_index(name)
+        own = (idx == 0) if side == 0 else (idx == lax.axis_size(name) - 1)
+        return jnp.where(own, new, old)
+
+    def _apply_custom_bcs(self, qbc, auxbc, t, state, names,
+                          dims=None):
+        """User BC callbacks, masked to boundary-owning shards.  Same
+        callback contract as the serial path (bc.py module docstring);
+        in distributed runs the callback must not depend on absolute
+        position along a SHARDED axis (it runs on every shard and only
+        boundary owners keep the result — constant/profile-along-
+        unsharded-axis inflows are fine)."""
+        num_dim = qbc.ndim - 1
+        dims = range(num_dim) if dims is None else dims
+        if auxbc is not None:
+            for d in dims:
+                name = names[d] if d < len(names) else None
+                if (self.aux_bc_lower[d] == BC.custom
+                        and self.user_aux_bc_lower is not None):
+                    new = self.user_aux_bc_lower(state, d, t, qbc, auxbc,
+                                                 self.num_ghost)
+                    auxbc = self._owner_select(name, 0, new, auxbc)
+                if (self.aux_bc_upper[d] == BC.custom
+                        and self.user_aux_bc_upper is not None):
+                    new = self.user_aux_bc_upper(state, d, t, qbc, auxbc,
+                                                 self.num_ghost)
+                    auxbc = self._owner_select(name, 1, new, auxbc)
+        for d in dims:
+            name = names[d] if d < len(names) else None
+            if self.bc_lower[d] == BC.custom:
+                if self.user_bc_lower is None:
+                    raise ValueError("bc_lower is custom but user_bc_lower "
+                                     "is not set")
+                new = self.user_bc_lower(state, d, t, qbc, auxbc,
+                                         self.num_ghost)
+                qbc = self._owner_select(name, 0, new, qbc)
+            if self.bc_upper[d] == BC.custom:
+                if self.user_bc_upper is None:
+                    raise ValueError("bc_upper is custom but user_bc_upper "
+                                     "is not set")
+                new = self.user_bc_upper(state, d, t, qbc, auxbc,
+                                         self.num_ghost)
+                qbc = self._owner_select(name, 1, new, qbc)
         return qbc, auxbc
 
-    # -- seam 2: shard_map + CFL reduction -----------------------------
+    # -- seam 2: halo/compute overlap ----------------------------------
+    def _wrap_bc_kernel(self, kern, state):
+        """Interior/boundary split so communication overlaps compute
+        (SURVEY.md §2.10 overlap row): the kernel runs once on the
+        serial-extended-only local block — that piece has NO data
+        dependency on any ppermute, so XLA's latency-hiding scheduler
+        executes it while the face transfers are in flight — and once per
+        boundary band (3g-wide slabs of the exchanged array, the only
+        consumers of the halos).  The pieces are the SAME kernel on the
+        same interface values, so the result is bitwise the serial
+        decomposition (tests/test_parallel.py invariance still holds).
+
+        Falls back to the blocking form when overlap_halo=False or a
+        sharded local block is thinner than 4*num_ghost."""
+        if not getattr(self, "overlap_halo", True):
+            return super()._wrap_bc_kernel(kern, state)
+        blocking = super()._wrap_bc_kernel(kern, state)
+
+        def stepper(q, aux, dt, t):
+            g = self.num_ghost
+            names = self._axis_names
+            num_dim = q.ndim - 1
+            sharded = [d for d in range(num_dim)
+                       if d < len(names) and names[d] is not None]
+            if not sharded or any(q.shape[1 + d] < 4 * g for d in sharded):
+                return blocking(q, aux, dt, t)
+
+            qbc, auxbc = self._extend_bc(q, aux, t, state)
+
+            # interior piece: ghost data entirely local -> comm-free
+            q_in = halo.extend_serial_only(q, g, self.bc_lower,
+                                           self.bc_upper, names,
+                                           wall_reflects=True)
+            aux_in = None
+            if aux is not None:
+                aux_in = halo.extend_serial_only(aux, g, self.aux_bc_lower,
+                                                 self.aux_bc_upper, names,
+                                                 wall_reflects=False)
+            unsharded = [d for d in range(num_dim) if d not in sharded]
+            q_in, aux_in = self._apply_custom_bcs(q_in, aux_in, t, state,
+                                                  names, dims=unsharded)
+            out, cfl = kern(q_in, aux_in, dt, t)
+
+            # boundary bands, assembled innermost axis first
+            banded = set()
+            for d in reversed(sharded):
+                def band(arr, lo_side):
+                    sl = [slice(None)] * arr.ndim
+                    for e in range(num_dim):
+                        n_e = q.shape[1 + e]
+                        if e == d:
+                            sl[1 + e] = (slice(0, 3 * g) if lo_side
+                                         else slice(n_e - g, n_e + 2 * g))
+                        elif e in sharded and e not in banded:
+                            sl[1 + e] = slice(g, n_e + g)
+                    return arr[tuple(sl)]
+
+                lo_a = hi_a = None
+                if aux is not None:
+                    lo_a, hi_a = band(auxbc, True), band(auxbc, False)
+                lo_out, c_lo = kern(band(qbc, True), lo_a, dt, t)
+                hi_out, c_hi = kern(band(qbc, False), hi_a, dt, t)
+                out = jnp.concatenate([lo_out, out, hi_out], axis=1 + d)
+                cfl = jnp.maximum(cfl, jnp.maximum(c_lo, c_hi))
+                banded.add(d)
+            return out, cfl
+        return stepper
+
+    # -- seam 3: shard_map + CFL reduction -----------------------------
     def _finalize_step(self, step_fn, state):
         if self.mesh is None:
             self.mesh = make_mesh(self.num_dim)

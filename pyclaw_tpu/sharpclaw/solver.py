@@ -118,25 +118,27 @@ class SharpClawSolver(Solver):
             raise ValueError(f"char_decomp={char_decomp} needs an evec hook "
                              f"on Riemann solver {self.rp.name}")
 
-        def dq(q, aux, dt, t):
-            qbc, auxbc = self._extend_bc(q, aux, t, state)
+        def kern(qbc, auxbc, dt, t):
             if num_dim == 1:
-                d, cfl = kernels.dq_1d(qbc, auxbc, dt, deltas[0], rp, params,
-                                       lim_type, weno_order, index_capa, g,
-                                       tfluct=tfluct,
-                                       char_decomp=char_decomp, evec=evec,
-                                       positivity=positivity,
-                                       backend=backend)
-            else:
-                d, cfl = kernels.dq_nd(qbc, auxbc, dt, deltas, rp, params,
-                                       lim_type, weno_order, index_capa, g,
-                                       tfluct=tfluct,
-                                       char_decomp=char_decomp, evec=evec,
-                                       positivity=positivity,
-                                       backend=backend)
-            if dq_src is not None:
-                d = d + dt * dq_src(self, state, q, dt, t)
-            return d, cfl
+                return kernels.dq_1d(qbc, auxbc, dt, deltas[0], rp, params,
+                                     lim_type, weno_order, index_capa, g,
+                                     tfluct=tfluct,
+                                     char_decomp=char_decomp, evec=evec,
+                                     positivity=positivity,
+                                     backend=backend)
+            return kernels.dq_nd(qbc, auxbc, dt, deltas, rp, params,
+                                 lim_type, weno_order, index_capa, g,
+                                 tfluct=tfluct,
+                                 char_decomp=char_decomp, evec=evec,
+                                 positivity=positivity,
+                                 backend=backend)
+        base = self._wrap_bc_kernel(kern, state)
+        if dq_src is None:
+            return base
+
+        def dq(q, aux, dt, t):
+            d, cfl = base(q, aux, dt, t)
+            return d + dt * dq_src(self, state, q, dt, t), cfl
         return dq
 
     def _make_step(self, state, integrator=None):

@@ -162,6 +162,19 @@ class Solver:
         import jax
         return jax.jit(step_fn)
 
+    def _wrap_bc_kernel(self, kern, state):
+        """Combine ghost extension with an interior kernel
+        ``kern(qbc, auxbc, dt, t) -> (interior_result, cfl)`` (the kernel
+        consumes a ghost-padded array and returns an array shrunk by
+        2*num_ghost per spatial axis).  Seam #3 of the parallel overlay:
+        the distributed mixin overrides this to run the kernel as an
+        interior block (independent of the halo ppermutes) plus boundary
+        bands, so XLA overlaps communication with interior compute."""
+        def stepper(q, aux, dt, t):
+            qbc, auxbc = self._extend_bc(q, aux, t, state)
+            return kern(qbc, auxbc, dt, t)
+        return stepper
+
     def step(self, solution):
         """One Δt step on device arrays; must set self.cfl local max."""
         raise NotImplementedError
