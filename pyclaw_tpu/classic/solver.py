@@ -179,6 +179,21 @@ class ClawSolver2D(ClawSolver):
 
         tw = self.transverse_waves
         if self.backend == "pallas":
+            if self._soa_eligible(state):
+                # genuinely tiled kernel (halo-apron DMA per tile)
+                from ..ops import tiled2d
+                rpn_soa = self.rp.rpn_soa
+                rpt_soa = self.rp.rpt_soa
+                nx, ny = state.patch.num_cells_global
+                tm = 8 if nx % 8 == 0 else nx
+                tn = 128 if ny % 128 == 0 else ny
+                if tiled2d.tile_grid((nx, ny), (tm, tn)) is not None:
+                    def kern_tiled(qbc, auxbc, dt, t):
+                        return tiled2d.step2_pallas_tiled(
+                            qbc, dt, dx, dy, rpn_soa, rpt_soa, params,
+                            mthlim, order, g, transverse_waves=tw,
+                            tile=(tm, tn))
+                    return self._wrap_bc_kernel(kern_tiled, state)
             from ..ops import step2_pallas as step2_fn
         elif self._soa_eligible(state):
             # SoA fast path (classic/soa.py): same numerics, the

@@ -24,4 +24,5 @@ path to closing it, not a correctness dependency.
 
 from .sweep import step1_pallas  # noqa: F401
 from .sweep2d import step2_pallas  # noqa: F401
+from .tiled2d import step2_pallas_tiled  # noqa: F401
 from .weno import weno5_pallas  # noqa: F401

@@ -59,15 +59,60 @@ def test_sharpclaw_pallas_weno_matches_xla():
     ("euler_2d_quadrants", {"mx": 40, "my": 40}),
 ])
 def test_classic_2d_pallas_backend_matches_xla(example, kw):
-    """Fused 2D unsplit sweep (ops/sweep2d.py) vs the XLA kernel — full
-    CTU incl. transverse terms must agree to roundoff."""
+    """Fused 2D unsplit sweep vs the XLA kernel — full CTU incl.
+    transverse terms must agree to roundoff.  (With SoA-eligible solvers
+    the pallas backend runs the TILED kernel, whose body is independent
+    of kernels.step2 — see the multi-tile test below for the explicit
+    tiling oracle.)"""
     mod = __import__(example)
     runs = {}
     for backend in ("xla", "pallas"):
         claw = mod.setup(solver_type="classic", kernel_language=backend,
                          outdir=None, **kw)
+        if backend == "xla":
+            claw.solver.use_soa = False     # generic AoS reference path
         claw.tfinal = 0.1
         claw.num_output_times = 1
         claw.run()
         runs[backend] = claw.solution.q.copy()
     np.testing.assert_allclose(runs["pallas"], runs["xla"], atol=1e-12)
+
+
+@pytest.mark.parametrize("tw", [0, 1, 2])
+def test_tiled_pallas_multi_tile_oracle(tw):
+    """The genuinely tiled kernel (ops/tiled2d.py): grid divided into
+    multiple (8, 128)-style tiles with a halo apron per tile, compared
+    against the INDEPENDENT generic AoS kernel (kernels.step2).  Asserts
+    the tiling really divided the grid."""
+    import jax
+
+    from pyclaw_tpu import riemann
+    from pyclaw_tpu.classic import kernels
+    from pyclaw_tpu.ops import tiled2d
+
+    g = 2
+    nx, ny = 32, 64
+    tile = (8, 32)
+    assert tiled2d.tile_grid((nx, ny), tile) == (4, 2)  # multi-tile!
+
+    rng = np.random.default_rng(5)
+    qbc = np.empty((4, nx + 2 * g, ny + 2 * g))
+    qbc[0] = 1.0 + 0.5 * rng.random(qbc.shape[1:])
+    qbc[1] = 0.3 * rng.standard_normal(qbc.shape[1:])
+    qbc[2] = 0.3 * rng.standard_normal(qbc.shape[1:])
+    qbc[3] = 2.5 + rng.random(qbc.shape[1:])
+    qbc = jnp.asarray(qbc)
+    params = {"gamma": 1.4}
+    mthlim = (1, 3, 4, 2)
+    dt, dx, dy = 1e-3, 1.0 / nx, 1.0 / ny
+    rp = riemann.euler_4wave_2D
+
+    q_t, c_t = jax.jit(lambda q: tiled2d.step2_pallas_tiled(
+        q, dt, dx, dy, rp.rpn_soa, rp.rpt_soa, params, mthlim, 2, g,
+        transverse_waves=tw, tile=tile))(qbc)
+    q_x, c_x = kernels.step2(qbc, None, dt, dx, dy, rp.rp, rp.rpt,
+                             params, mthlim, 2, False, -1, g,
+                             transverse_waves=tw)
+    np.testing.assert_allclose(np.asarray(q_t), np.asarray(q_x),
+                               atol=1e-13)
+    assert abs(float(c_t) - float(c_x)) < 1e-13
