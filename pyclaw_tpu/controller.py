@@ -35,6 +35,11 @@ class Controller:
         self.output_options = {}
         self.compute_p = None
         self.file_prefix_p = "claw_p"
+        # functional output (reference controller.py F_path/compute_F):
+        # compute_F(state) fills state.F (num_F, *cells); each frame
+        # appends "t sum(F_0) sum(F_1) ..." to <outdir>/<F_file_name>.txt
+        self.compute_F = None
+        self.F_file_name = "F"
         self.verbosity = 3
         self.check_validity = False
         # observability (SURVEY.md §5.1): set to a directory path to wrap
@@ -73,6 +78,28 @@ class Controller:
             self.solution.write(frame, path=self.outdir,
                                 file_format=self.output_format,
                                 file_prefix=self.file_prefix_p, write_p=True)
+        self._write_F(frame)
+
+    def _write_F(self, frame):
+        """Append the functional values for this frame (reference
+        controller.py F_path handling): one line 't F_0 F_1 ...' where
+        F_i = cell sum of row i of compute_F's output."""
+        import numpy as np
+        state = self.solution.state
+        compute_F = self.compute_F or state.compute_F
+        if compute_F is None:
+            return
+        state.compute_F = compute_F
+        compute_F(state)
+        if state.F is None:
+            return
+        F = np.asarray(state.F)
+        sums = F.reshape(F.shape[0], -1).sum(axis=1)
+        mode = "w" if frame == 0 else "a"
+        with open(os.path.join(self.outdir,
+                               f"{self.F_file_name}.txt"), mode) as f:
+            f.write(" ".join(f"{v:.15e}" for v in
+                             [self.solution.t, *sums]) + "\n")
 
     def _configure_logging(self):
         """Wire verbosity to the named logger hierarchy (reference

@@ -41,6 +41,129 @@ def _recon(qbc, lim_type, weno_order, tvd_limiter=4, backend="xla"):
     raise ValueError(f"bad lim_type {lim_type}")
 
 
+def _recon_char_tvd(qbc, auxbc, params, evec, ixy, tvd_limiter):
+    """Characteristic-wise TVD2 reconstruction (reference reconstruct.f90
+    tvd2_char: lim_type=1, char_decomp=2): slope-limit the LOCAL
+    characteristic components w = L q and transform the edge values
+    back."""
+    from ..limiters import tvd as tvdmod
+    R, L = evec(ixy, qbc, auxbc, params)
+
+    def proj(shift):
+        return jnp.einsum("ab...,b...->a...", L, recon._shift(qbc, shift))
+
+    w_m, w_0, w_p = proj(-1), proj(0), proj(1)
+    dqm = w_0 - w_m
+    dqp = w_p - w_0
+    safe = dqp != 0.0
+    theta = jnp.where(safe, dqm / jnp.where(safe, dqp, 1.0), 0.0)
+    phi = jnp.where(safe, tvdmod._phi(tvd_limiter, theta), 0.0)
+    slope = phi * dqp
+    ql = jnp.einsum("ab...,b...->a...", R, w_0 - 0.5 * slope)
+    qr = jnp.einsum("ab...,b...->a...", R, w_0 + 0.5 * slope)
+    return ql, qr
+
+
+def _interface_waves(qbc, auxbc, params, rp, ixy):
+    """Riemann waves at every interface of the (last-axis) pencil:
+    returns wave (num_eqn, num_waves, ..., n-1) for interface k between
+    cells k, k+1."""
+    q_l, q_r = qbc[..., :-1], qbc[..., 1:]
+    if auxbc is not None:
+        aux_l, aux_r = auxbc[..., :-1], auxbc[..., 1:]
+    else:
+        aux_l = aux_r = None
+    wave, s, _, _ = rp(ixy, q_l, q_r, aux_l, aux_r, params)
+    return wave
+
+
+def _shift_ifc(a, m):
+    """Shift an interface-indexed array by m with zero fill (zero waves
+    beyond the ends degrade the stencil gracefully inside the ghost
+    bands, which are trimmed)."""
+    if m == 0:
+        return a
+    z = jnp.zeros_like(a[..., :abs(m)])
+    if m > 0:
+        return jnp.concatenate([a[..., m:], z], axis=-1)
+    return jnp.concatenate([z, a[..., :m]], axis=-1)
+
+
+def _recon_wave(qbc, auxbc, params, rp, ixy, lim_type, weno_order,
+                tvd_limiter):
+    """Wave-slope reconstruction (reference reconstruct.f90 tvd2_wave /
+    weno.f90 weno5_wave; char_decomp=1): the reconstruction acts on the
+    Riemann-solver wave decomposition of the interface jumps instead of
+    on components.
+
+    TVD form: cell slope = sum_p phi(theta_p) W^p at the cell's right
+    interface, theta_p the left-neighbor wave projection ratio — the
+    exact wave analog of recon.tvd2.
+
+    WENO form: for each wave family and target interface I, the
+    neighboring interfaces' waves are projected onto W_I giving relative
+    strengths T_m = <W_{I+m}, W_I>/|W_I|^2; their cumulative sums form a
+    pseudo-field with unit jump at I whose generic-order WENO edge value
+    (limiters.recon.weno_stencil) is the fraction of W_I added to the
+    cell average — 5th order where the wave field is smooth, monotone at
+    discontinuities."""
+    wave = _interface_waves(qbc, auxbc, params, rp, ixy)
+    num_waves = wave.shape[1]
+    n = qbc.shape[-1]
+
+    wnorm2 = jnp.sum(wave * wave, axis=0)          # (nw, ..., n-1)
+    safe = wnorm2 > 0.0
+    inv = jnp.where(safe, 1.0 / jnp.where(safe, wnorm2, 1.0), 0.0)
+
+    if lim_type == 1:
+        from ..limiters import tvd as tvdmod
+        d = jnp.sum(_shift_ifc(wave, -1) * wave, axis=0)   # <W_{k-1},W_k>
+        theta = d * inv
+        phi = jnp.where(safe, tvdmod._phi(tvd_limiter, theta), 0.0)
+        slope_ifc = jnp.sum(phi[None] * wave, axis=1)      # (ne, ..., n-1)
+        # cell i's slope lives at its RIGHT interface (index i)
+        zero = jnp.zeros_like(slope_ifc[..., :1])
+        slope = jnp.concatenate([slope_ifc, zero], axis=-1)
+        ql = qbc - 0.5 * slope
+        qr = qbc + 0.5 * slope
+        return ql, qr
+
+    # WENO wave form
+    k = (weno_order + 1) // 2
+    # T_m[k] = <W_{k+m}, W_k> / |W_k|^2 for m in [-k+1, k-1]
+    T = {m: (jnp.sum(_shift_ifc(wave, m) * wave, axis=0) * inv
+             if m != 0 else jnp.where(safe, 1.0, 0.0))
+         for m in range(-k + 1, k)}
+
+    # pseudo cell values around target interface I: v_0 = 0 (the cell
+    # left of I), v_{j+1} - v_j = T_{j} -> v_j = sum of T over the
+    # interfaces between pseudo-cell 0 and j
+    def pseudo(j):
+        if j == 0:
+            return jnp.zeros_like(T[0])
+        if j > 0:
+            return sum(T[m] for m in range(0, j))
+        return -sum(T[m] for m in range(j, 0))
+
+    # RIGHT edge of cell i: target interface index i; pseudo cells
+    # j = -k+1 .. k-1 relative to cell i (cell i is pseudo-cell 0)
+    shifts_r = [pseudo(j) for j in range(-k + 1, k)]
+    _, ps_r = recon.weno_stencil(weno_order, shifts_r)
+    # LEFT edge of cell i: target interface i-1; cell i is pseudo-cell 1
+    # relative to that interface -> j = -k+2 .. k, shifted base
+    shifts_l = [pseudo(j) - 1.0 for j in range(-k + 2, k + 1)]
+    ps_l, _ = recon.weno_stencil(weno_order, shifts_l)
+    # ps values are fractions of the target wave; ps_l is relative to
+    # v_1 = 0 after the -1 shift (cell i sits right of interface i-1)
+
+    contrib_r = jnp.sum(ps_r[None] * wave, axis=1)      # at interface i
+    contrib_l = jnp.sum(ps_l[None] * wave, axis=1)      # at interface i-1
+    zero = jnp.zeros_like(contrib_r[..., :1])
+    qr = qbc + jnp.concatenate([contrib_r, zero], axis=-1)
+    ql = qbc + jnp.concatenate([zero, contrib_l], axis=-1)
+    return ql, qr
+
+
 def _recon_char(qbc, auxbc, params, evec, ixy, weno_order):
     """Characteristic-wise WENO reconstruction (reference weno5_char /
     reconstruct.f90 char_decomp=2 path, any supported order): project each
@@ -58,7 +181,7 @@ def _recon_char(qbc, auxbc, params, evec, ixy, weno_order):
 
 def dq_1d(qbc, auxbc, dt, dx, rp, params, lim_type, weno_order, index_capa,
           num_ghost, ixy=0, tfluct=None, char_decomp=0, evec=None,
-          positivity=None, backend="xla"):
+          positivity=None, backend="xla", tvd_limiter=4):
     """Semidiscrete update along the LAST axis (flux1.f90 equivalent).
 
     qbc: (num_eqn, ..., n) ghost-padded.  Returns (dq interior along last
@@ -67,10 +190,21 @@ def dq_1d(qbc, auxbc, dt, dx, rp, params, lim_type, weno_order, index_capa,
     g = num_ghost
     n = qbc.shape[-1]
 
-    if char_decomp and evec is not None and lim_type == 2:
+    if char_decomp == 1:
+        ql, qr = _recon_wave(qbc, auxbc, params, rp, ixy, lim_type,
+                             weno_order, tvd_limiter=tvd_limiter)
+    elif char_decomp == 2 and evec is not None and lim_type == 2:
         ql, qr = _recon_char(qbc, auxbc, params, evec, ixy, weno_order)
+    elif char_decomp == 2 and evec is not None and lim_type == 1:
+        ql, qr = _recon_char_tvd(qbc, auxbc, params, evec, ixy,
+                                 tvd_limiter=tvd_limiter)
+    elif char_decomp == 3:
+        raise NotImplementedError(
+            "char_decomp=3 (transmission-based reconstruction) is not "
+            "ported; use 1 (wave) or 2 (characteristic)")
     else:
-        ql, qr = _recon(qbc, lim_type, weno_order, backend=backend)
+        ql, qr = _recon(qbc, lim_type, weno_order,
+                        tvd_limiter=tvd_limiter, backend=backend)
 
     if positivity is not None:
         # per-cell first-order fallback where a reconstructed edge state
@@ -115,7 +249,7 @@ def dq_1d(qbc, auxbc, dt, dx, rp, params, lim_type, weno_order, index_capa,
 
 def dq_nd(qbc, auxbc, dt, deltas, rp, params, lim_type, weno_order,
           index_capa, num_ghost, tfluct=None, char_decomp=0, evec=None,
-          positivity=None, backend="xla"):
+          positivity=None, backend="xla", tvd_limiter=4):
     """Multi-dimensional MOL update: per-axis 1D sweeps accumulated
     (flux2.f90/flux3.f90 equivalent — no transverse solves needed).
 
@@ -131,7 +265,8 @@ def dq_nd(qbc, auxbc, dt, deltas, rp, params, lim_type, weno_order,
         dqd, cfld = dq_1d(qm, auxm, dt, deltas[d], rp, params, lim_type,
                           weno_order, index_capa, g, ixy=d, tfluct=tfluct,
                           char_decomp=char_decomp, evec=evec,
-                          positivity=positivity, backend=backend)
+                          positivity=positivity, backend=backend,
+                          tvd_limiter=tvd_limiter)
         dqd = jnp.moveaxis(dqd, -1, axis)
         # strip ghosts on the other axes
         sl = [slice(None)] * dqd.ndim

@@ -13,7 +13,9 @@ Attribute parity: time_integrator, lim_type (1=TVD, 2=WENO), weno_order,
 tfluct_solver/tfluct, dq_src (semidiscrete source: fn(solver, state, q, dt,
 t) -> dq contribution, jax-traceable), call_before_step_each_stage,
 cfl_max/cfl_desired per-integrator defaults (SSP104: 2.5/2.45).
-char_decomp (characteristic-wise reconstruction) is not yet ported.
+char_decomp: 0 componentwise, 1 wave-slope (Riemann waves; TVD and
+wave-space WENO forms), 2 characteristic (evec hook; TVD and WENO forms);
+3 (transmission-based) is not ported.
 """
 
 from __future__ import annotations
@@ -111,10 +113,11 @@ class SharpClawSolver(Solver):
         num_dim = self.num_dim
         dq_src = self.dq_src
         char_decomp = self.char_decomp
+        tvd_limiter = self.tvd_limiter
         evec = self.rp.evec
         positivity = self.rp.positivity
         backend = self.backend
-        if char_decomp and evec is None:
+        if char_decomp == 2 and evec is None:
             raise ValueError(f"char_decomp={char_decomp} needs an evec hook "
                              f"on Riemann solver {self.rp.name}")
 
@@ -125,13 +128,15 @@ class SharpClawSolver(Solver):
                                      tfluct=tfluct,
                                      char_decomp=char_decomp, evec=evec,
                                      positivity=positivity,
-                                     backend=backend)
+                                     backend=backend,
+                                     tvd_limiter=tvd_limiter)
             return kernels.dq_nd(qbc, auxbc, dt, deltas, rp, params,
                                  lim_type, weno_order, index_capa, g,
                                  tfluct=tfluct,
                                  char_decomp=char_decomp, evec=evec,
                                  positivity=positivity,
-                                 backend=backend)
+                                 backend=backend,
+                                 tvd_limiter=tvd_limiter)
         base = self._wrap_bc_kernel(kern, state)
         if dq_src is None:
             return base

@@ -56,6 +56,10 @@ class Solver:
         self.before_step = None
         self.rp = riemann_solver
         self.cfl = CFL()
+        # device gauge-series buffer length per evolve call (see
+        # _make_evolve_fn); raise it for runs with >2048 steps per
+        # output frame that need every gauge sample
+        self.gauge_buffer_len = 2048
         self.status = {"cflmax": 0.0, "dtmin": float("inf"),
                        "dtmax": 0.0, "numsteps": 0,
                        # observability (SURVEY.md §5.1): the reference has
@@ -254,9 +258,12 @@ class Solver:
                     ok = jnp.asarray(True)
                 q_ = jnp.where(ok, q_new, q_)
                 if gauge_gather is not None:
-                    gt = gt.at[ns].set(jnp.where(ok, t + dt_try, gt[ns]))
+                    # mode='drop': steps beyond the buffer are discarded
+                    # (host warns) instead of clobbering the last entry
+                    gt = gt.at[ns].set(jnp.where(ok, t + dt_try, gt[ns]),
+                                       mode="drop")
                     gq = gq.at[ns].set(jnp.where(ok, gauge_gather(q_),
-                                                 gq[ns]))
+                                                 gq[ns]), mode="drop")
                 t = jnp.where(ok, t + dt_try, t)
                 ns = ns + jnp.int32(ok)
                 nr = nr + jnp.int32(~ok)
@@ -277,9 +284,13 @@ class Solver:
                 gt0 = jnp.zeros((0,), ftype)
                 gq0 = jnp.zeros((0,), q.dtype)
             else:
+                # device gauge buffer: bounded by gauge_buffer_len, not
+                # max_steps (10000 x num_eqn x num_gauges would bite for
+                # many gauges); overflow entries are dropped + warned
                 ng = len(state.patch.grid.gauge_indices)
-                gt0 = jnp.zeros((max_steps,), ftype)
-                gq0 = jnp.zeros((max_steps, q.shape[0], ng), q.dtype)
+                nbuf = min(max_steps, self.gauge_buffer_len)
+                gt0 = jnp.zeros((nbuf,), ftype)
+                gq0 = jnp.zeros((nbuf, q.shape[0], ng), q.dtype)
             init = (q, jnp.asarray(t0, dtype=ftype),
                     jnp.asarray(dt0, dtype=ftype),
                     jnp.int32(0), jnp.int32(0),
@@ -312,9 +323,16 @@ class Solver:
         state.t = tend
         self.dt = float(dt)
         if state.patch.grid.gauge_indices and ns > 0:
-            gt_h = np.asarray(gt[:ns])
-            gq_h = np.asarray(gq[:ns])     # (ns, num_eqn, ng)
-            for i in range(ns):
+            n_rec = ns
+            if n_rec > gt.shape[0]:
+                logger.warning(
+                    "gauge buffer overflow: %d accepted steps > "
+                    "gauge_buffer_len=%d; later samples dropped — raise "
+                    "solver.gauge_buffer_len", n_rec, gt.shape[0])
+                n_rec = gt.shape[0]
+            gt_h = np.asarray(gt[:n_rec])
+            gq_h = np.asarray(gq[:n_rec])  # (n_rec, num_eqn, ng)
+            for i in range(n_rec):
                 for num in range(gq_h.shape[2]):
                     state.gauge_data.append((num, float(gt_h[i]),
                                              gq_h[i, :, num]))

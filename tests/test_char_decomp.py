@@ -161,3 +161,77 @@ def test_char_decomp_euler_2d():
     assert np.all(np.isfinite(q_char))
     rel = np.abs(q_char[0] - q_comp[0]).mean() / np.abs(q_comp[0]).mean()
     assert rel < 0.02, rel
+
+
+def test_wave_decomp_shallow():
+    """char_decomp=1 (wave-slope, WENO form): dam break stays finite,
+    positive, and close to componentwise (reference weno5_wave)."""
+    q_wave = _shallow_dam_break(1)
+    q_comp = _shallow_dam_break(0)
+    assert np.all(np.isfinite(q_wave))
+    rel = np.abs(q_wave - q_comp).max() / np.abs(q_comp).max()
+    assert rel < 0.05, rel
+    assert q_wave[0].min() > 0.0
+
+
+def _tvd_dam_break(char_decomp):
+    solver = pyclaw.SharpClawSolver1D(riemann.shallow_roe_with_efix_1D)
+    solver.time_integrator = "SSP33"
+    solver.lim_type = 1
+    solver.char_decomp = char_decomp
+    solver.all_bcs = pyclaw.BC.extrap
+    domain = pyclaw.Domain([-5.0], [5.0], [200])
+    state = pyclaw.State(domain, 2)
+    state.problem_data["grav"] = 1.0
+    x = domain.grid.x.centers
+    state.q[0] = np.where(x < 0.0, 3.0, 1.0)
+    state.q[1] = 0.0
+    claw = pyclaw.Controller()
+    claw.solution = pyclaw.Solution(state, domain)
+    claw.solver = solver
+    claw.tfinal = 2.0
+    claw.num_output_times = 1
+    claw.output_format = None
+    claw.run()
+    return np.asarray(claw.solution.q)
+
+
+def test_tvd_char_and_wave_shallow():
+    """lim_type=1 with char_decomp 1 (tvd2_wave) and 2 (tvd2_char):
+    both stay finite/positive and near the componentwise TVD result."""
+    q_comp = _tvd_dam_break(0)
+    for cd in (1, 2):
+        q_cd = _tvd_dam_break(cd)
+        assert np.all(np.isfinite(q_cd)), cd
+        rel = np.abs(q_cd - q_comp).max() / np.abs(q_comp).max()
+        assert rel < 0.05, (cd, rel)
+        assert q_cd[0].min() > 0.0
+
+
+def test_weno_wave_scalar_matches_componentwise():
+    """For scalar advection the wave decomposition IS the component jump
+    and WENO smoothness indicators are affine-invariant, so weno5_wave
+    must track componentwise WENO5 very closely."""
+    def run(char_decomp):
+        solver = pyclaw.SharpClawSolver1D(riemann.advection_1D)
+        solver.char_decomp = char_decomp
+        solver.all_bcs = pyclaw.BC.periodic
+        solver.dt_initial = 1e-3
+        solver.dt_variable = False
+        domain = pyclaw.Domain([0.0], [1.0], [64])
+        state = pyclaw.State(domain, 1)
+        state.problem_data["u"] = 1.0
+        x = domain.grid.x.centers
+        state.q[0] = np.sin(2 * np.pi * x) + np.where(x > 0.5, 1.0, 0.0)
+        claw = pyclaw.Controller()
+        claw.solution = pyclaw.Solution(state, domain)
+        claw.solver = solver
+        claw.tfinal = 0.1
+        claw.num_output_times = 1
+        claw.output_format = None
+        claw.run()
+        return np.asarray(claw.solution.q[0])
+
+    q_wave = run(1)
+    q_comp = run(0)
+    assert np.max(np.abs(q_wave - q_comp)) < 5e-4

@@ -208,3 +208,34 @@ def test_native_ascii_writer_byte_identical(tmp_path, num_dim):
         asciimod._write_array(f, np.asarray(state.q))
     python = (tmp_path / "py.q").read_bytes()
     assert native == python
+
+
+def test_compute_F_functional_output(tmp_path):
+    """Controller functional output (reference F_path/compute_F): one
+    't sum(F_row)...' line per frame; total mass of periodic advection
+    is constant."""
+    import pyclaw_tpu as pyclaw
+    from pyclaw_tpu import riemann
+
+    def compute_F(state):
+        state.F = np.asarray(state.q).copy()   # functional: cell mass
+
+    solver = pyclaw.ClawSolver1D(riemann.advection_1D)
+    solver.all_bcs = pyclaw.BC.periodic
+    domain = pyclaw.Domain([0.0], [1.0], [64])
+    state = pyclaw.State(domain, 1)
+    state.problem_data["u"] = 1.0
+    x = domain.grid.x.centers
+    state.q[0] = np.exp(-80.0 * (x - 0.5) ** 2)
+    claw = pyclaw.Controller()
+    claw.solution = pyclaw.Solution(state, domain)
+    claw.solver = solver
+    claw.tfinal = 0.2
+    claw.num_output_times = 4
+    claw.outdir = str(tmp_path)
+    claw.compute_F = compute_F
+    claw.run()
+    rows = np.loadtxt(tmp_path / "F.txt")
+    assert rows.shape == (5, 2)
+    np.testing.assert_allclose(rows[:, 1], rows[0, 1], rtol=1e-12)
+    assert abs(rows[-1, 0] - 0.2) < 1e-12
