@@ -67,7 +67,8 @@ from .euler import (euler_with_efix_1D, euler_roe_1D, euler_hlle_1D,  # noqa: E4
                     euler_4wave_2D, euler_5wave_2D, euler_3D)
 from .shallow import (shallow_roe_with_efix_1D, shallow_hlle_1D,  # noqa: E402,F401
                       shallow_roe_with_efix_2D,
-                      shallow_bathymetry_fwave_1D)
+                      shallow_bathymetry_fwave_1D,
+                      shallow_bathymetry_fwave_2D, sw_aug_2D)
 from .traffic import traffic_1D  # noqa: E402,F401
 from .kpp import kpp_2D  # noqa: E402,F401
 from .acoustics_var import (acoustics_variable_1D,  # noqa: E402,F401
@@ -87,6 +88,6 @@ ALL = {s.name: s for s in [
     shallow_roe_with_efix_1D, shallow_hlle_1D, shallow_roe_with_efix_2D,
     traffic_1D, kpp_2D, acoustics_variable_1D, vc_acoustics_2D,
     vc_acoustics_3D, psystem_1D,
-    shallow_bathymetry_fwave_1D, psystem_2D, shallow_sphere_fwave_2D,
-    mhd_1D,
+    shallow_bathymetry_fwave_1D, shallow_bathymetry_fwave_2D,
+    psystem_2D, shallow_sphere_fwave_2D, mhd_1D,
 ]}

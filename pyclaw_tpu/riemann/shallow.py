@@ -308,6 +308,72 @@ def _rp1_shallow_bathymetry_fwave(ixy, q_l, q_r, aux_l, aux_r, params):
     return wave, s, amdq, apdq
 
 
+def _rpn2_shallow_bathymetry_fwave(ixy, q_l, q_r, aux_l, aux_r, params):
+    """2D well-balanced f-wave solver over bathymetry (reference
+    rpn2_shallow_bathymetry_fwave.f90, the sw_aug_2D-class GeoClaw-style
+    solver; SURVEY.md §2.8): aux[0] = b(x,y).  Three f-waves — two
+    gravity waves at HLLE-bounded Roe speeds carrying the augmented
+    normal flux jump (incl. the g h_bar Δb topography term, so
+    lake-at-rest is exactly balanced) and a passive transverse-momentum
+    wave at the Roe normal speed.  Dry-safe divisions via a tolerance.
+    Use with solver.fwave = True."""
+    g = params["grav"]
+    dry = params.get("dry_tolerance", 1e-8)
+    mu = 1 + ixy
+    mv = 2 - ixy
+
+    h_l, h_r = q_l[0], q_r[0]
+    wet_l, wet_r = h_l > dry, h_r > dry
+    hs_l = jnp.where(wet_l, h_l, 1.0)
+    hs_r = jnp.where(wet_r, h_r, 1.0)
+    u_l = jnp.where(wet_l, q_l[mu] / hs_l, 0.0)
+    u_r = jnp.where(wet_r, q_r[mu] / hs_r, 0.0)
+    v_l = jnp.where(wet_l, q_l[mv] / hs_l, 0.0)
+    v_r = jnp.where(wet_r, q_r[mv] / hs_r, 0.0)
+    b_l, b_r = aux_l[0], aux_r[0]
+
+    sh_l, sh_r = jnp.sqrt(jnp.maximum(h_l, 0.0)), \
+        jnp.sqrt(jnp.maximum(h_r, 0.0))
+    denom_roe = jnp.where(sh_l + sh_r > 0.0, sh_l + sh_r, 1.0)
+    u = (sh_l * u_l + sh_r * u_r) / denom_roe
+    c = jnp.sqrt(g * 0.5 * (h_l + h_r))
+    s1 = jnp.minimum(u - c, u_l - jnp.sqrt(g * jnp.maximum(h_l, 0.0)))
+    s3 = jnp.maximum(u + c, u_r + jnp.sqrt(g * jnp.maximum(h_r, 0.0)))
+    s2 = u
+
+    hbar = 0.5 * (h_l + h_r)
+    fd1 = q_r[mu] - q_l[mu]
+    fd2 = (q_r[mu] * u_r + 0.5 * g * h_r * h_r) \
+        - (q_l[mu] * u_l + 0.5 * g * h_l * h_l) \
+        + g * hbar * (b_r - b_l)
+    fd3 = q_r[mu] * v_r - q_l[mu] * v_l
+
+    denom = jnp.where(s3 - s1 == 0.0, 1.0, s3 - s1)
+    beta1 = (s3 * fd1 - fd2) / denom
+    beta3 = (fd2 - s1 * fd1) / denom
+
+    num_eqn = q_l.shape[0]
+
+    def mk(h_c, mu_c, mv_c):
+        comp = [None] * num_eqn
+        comp[0], comp[mu], comp[mv] = h_c, mu_c, mv_c
+        return jnp.stack(comp)
+
+    z = jnp.zeros_like(h_l)
+    w1 = mk(beta1, beta1 * s1, beta1 * v_l)
+    w3 = mk(beta3, beta3 * s3, beta3 * v_r)
+    w2 = mk(z, z, fd3 - beta1 * v_l - beta3 * v_r)
+    wave = jnp.stack([w1, w2, w3], axis=1)
+    s = jnp.stack([s1, s2, s3])
+
+    amdq = jnp.zeros_like(q_l)
+    apdq = jnp.zeros_like(q_l)
+    for w, sp in ((w1, s1), (w2, s2), (w3, s3)):
+        amdq = amdq + jnp.where(sp < 0.0, w, 0.0)
+        apdq = apdq + jnp.where(sp >= 0.0, w, 0.0)
+    return wave, s, amdq, apdq
+
+
 def _shallow_positivity(q, aux, params):
     return q[0] > 0.0
 
@@ -320,3 +386,10 @@ shallow_bathymetry_fwave_1D = RiemannSolver(
     "shallow_bathymetry_fwave_1D", 1, 2, 2, _rp1_shallow_bathymetry_fwave,
     requires=("grav",))
 shallow_bathymetry_fwave_1D.positivity = _shallow_positivity
+
+shallow_bathymetry_fwave_2D = RiemannSolver(
+    "shallow_bathymetry_fwave_2D", 2, 3, 3,
+    _rpn2_shallow_bathymetry_fwave, rpt=_rpt2_shallow_roe,
+    requires=("grav",))
+shallow_bathymetry_fwave_2D.positivity = _shallow_positivity
+sw_aug_2D = shallow_bathymetry_fwave_2D   # GeoClaw-style alias
