@@ -1,0 +1,151 @@
+"""SoA fast path for the SharpClaw 2D semidiscretization.
+
+Performance rebuild of ``flux2.f90``'s pencil loops (SURVEY.md §2.3) in
+the dataflow XLA fuses best on TPU, mirroring classic/soa.py: the
+generic ``kernels.dq_nd`` moveaxis-transposes the full AoS array per
+direction and materializes ``(num_eqn, num_waves, nx, ny)`` wave tensors
+TWICE per direction per RK stage (interface + in-cell Riemann calls) —
+with SSP104's 10 stages that dominates the BASELINE cfg4 wall clock.
+Here each equation is an independent 2D plane: WENO edge reconstruction
+runs per-component with axis-aware slicing (no transposes, no rolls) and
+the Riemann algebra stays in per-wave 2D chains via the rpn_soa protocol
+(classic/soa.py).
+
+Same numerics as kernels.dq_nd — pinned by tests/test_soa.py.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import jax.numpy as jnp
+
+from ..limiters import recon
+
+
+def _slc(a, axis, sl):
+    idx = [slice(None)] * a.ndim
+    idx[axis] = sl
+    return a[tuple(idx)]
+
+
+def _shift_ax(a, k, axis):
+    """out[i] = a[i+k] along `axis`, edge-replicated (the invalid band is
+    inside the ghost region, trimmed by the caller)."""
+    if k == 0:
+        return a
+    n = a.shape[axis]
+    if k > 0:
+        core = _slc(a, axis, slice(k, n))
+        edge = _slc(a, axis, slice(n - 1, n))
+        reps = [core] + [edge] * k
+    else:
+        core = _slc(a, axis, slice(0, n + k))
+        edge = _slc(a, axis, slice(0, 1))
+        reps = [edge] * (-k) + [core]
+    return jnp.concatenate(reps, axis=axis)
+
+
+def _weno_edges(v, axis, weno_order):
+    shifts = [_shift_ax(v, m, axis)
+              for m in range(-(weno_order + 1) // 2 + 1,
+                             (weno_order + 1) // 2)]
+    return recon.weno_stencil(weno_order, shifts)
+
+
+def _combine(waves, speeds, num_eqn, zero):
+    """Godunov fluctuations from SoA waves: (amdq, apdq) per equation."""
+    amdq, apdq = [], []
+    for e in range(num_eqn):
+        am = ap = None
+        for w, sp in zip(waves, speeds):
+            if w[e] is None:
+                continue
+            am_t = jnp.minimum(sp, 0.0) * w[e]
+            ap_t = jnp.maximum(sp, 0.0) * w[e]
+            am = am_t if am is None else am + am_t
+            ap = ap_t if ap is None else ap + ap_t
+        amdq.append(am if am is not None else zero)
+        apdq.append(ap if ap is not None else zero)
+    return amdq, apdq
+
+
+def _dq_dir_soa(qs, axis, dt, dxi, rpn_soa, params, weno_order, num_ghost,
+                positivity):
+    """One directional semidiscrete sweep on per-equation 2D planes.
+    Returns (dq per-eqn list over cells 1..n-2 along `axis`, full extent
+    on the other axis, cfl)."""
+    g = num_ghost
+    num_eqn = len(qs)
+    aaxis = axis          # planes have no leading equation axis
+    n = qs[0].shape[aaxis]
+
+    ql, qr = [], []
+    for e in range(num_eqn):
+        l, r = _weno_edges(qs[e], aaxis, weno_order)
+        ql.append(l)
+        qr.append(r)
+
+    if positivity is not None:
+        ok = positivity(ql, None, params) & positivity(qr, None, params)
+        ql = [jnp.where(ok, l, c) for l, c in zip(ql, qs)]
+        qr = [jnp.where(ok, r, c) for r, c in zip(qr, qs)]
+
+    # interface k between cells k, k+1: states (qr_k, ql_{k+1})
+    q_li = tuple(_slc(r, aaxis, slice(0, n - 1)) for r in qr)
+    q_ri = tuple(_slc(l, aaxis, slice(1, n)) for l in ql)
+    waves, speeds = rpn_soa(axis, q_li, q_ri, params)
+    zero_i = jnp.zeros_like(q_li[0])
+    amdq, apdq = _combine(waves, speeds, num_eqn, zero_i)
+
+    # in-cell total fluctuation adq = sum_p s_p W_p (amdq2 + apdq2)
+    waves2, speeds2 = rpn_soa(axis, tuple(ql), tuple(qr), params)
+    zero_c = jnp.zeros_like(qs[0])
+    adq = []
+    for e in range(num_eqn):
+        a = None
+        for w, sp in zip(waves2, speeds2):
+            if w[e] is None:
+                continue
+            t = sp * w[e]
+            a = t if a is None else a + t
+        adq.append(a if a is not None else zero_c)
+
+    dtdx = dt / dxi
+    cfl = dtdx * reduce(jnp.maximum,
+                        (jnp.max(jnp.abs(_slc(s, aaxis,
+                                              slice(g - 1, n - g))))
+                         if jnp.ndim(s) else jnp.abs(s)
+                         for s in speeds))
+
+    dq = []
+    for e in range(num_eqn):
+        dq.append(-dtdx * (_slc(apdq[e], aaxis, slice(0, n - 2))
+                           + _slc(amdq[e], aaxis, slice(1, n - 1))
+                           + _slc(adq[e], aaxis, slice(1, n - 1))))
+    return dq, cfl
+
+
+def dq_2d_soa(qbc, dt, dx, dy, rpn_soa, params, weno_order, num_ghost,
+              positivity=None):
+    """2D MOL semidiscrete update, SoA dataflow.  Same contract as
+    kernels.dq_nd restricted to {aux=None, no capacity, lim_type=2,
+    char_decomp=0, no tfluct}: qbc (num_eqn, nx, ny) ghost-padded ->
+    (dq over interior cells incl. the dt factor, cfl)."""
+    g = num_ghost
+    num_eqn, nx, ny = qbc.shape
+    qs = tuple(qbc[e] for e in range(num_eqn))
+
+    dqx, cflx = _dq_dir_soa(qs, 0, dt, dx, rpn_soa, params, weno_order,
+                            g, positivity)
+    dqy, cfly = _dq_dir_soa(qs, 1, dt, dy, rpn_soa, params, weno_order,
+                            g, positivity)
+
+    out = []
+    for e in range(num_eqn):
+        # dq_dir covers cells 1..n-2 along its axis, full on the other;
+        # trim both to the interior (cells g..n-g-1)
+        x_part = dqx[e][g - 1:nx - 1 - g, g:ny - g]
+        y_part = dqy[e][g:nx - g, g - 1:ny - 1 - g]
+        out.append(x_part + y_part)
+    return jnp.stack(out), jnp.maximum(cflx, cfly)

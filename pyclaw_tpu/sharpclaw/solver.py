@@ -49,6 +49,7 @@ class SharpClawSolver(Solver):
         self.dq_src = None
         self.call_before_step_each_stage = False
         self.char_decomp = 0
+        self.use_soa = True   # False forces the generic AoS dq kernels
         self.backend = DEFAULT_BACKEND
         self._step_fn = None
         self._cfl_set_by_user = False
@@ -100,6 +101,20 @@ class SharpClawSolver(Solver):
         self._is_set_up = True
 
     # ------------------------------------------------------------------
+    def _soa_eligible(self, state):
+        """The SharpClaw SoA fast path covers 2D componentwise WENO with
+        no aux/capacity/tfluct for Riemann solvers with SoA variants."""
+        if getattr(self, "use_soa", True) is False:
+            return False
+        return (self.num_dim == 2
+                and self.lim_type == 2
+                and self.char_decomp == 0
+                and not self.tfluct_solver
+                and state.aux is None
+                and state.index_capa < 0
+                and self.backend == "xla"
+                and self.rp.rpn_soa is not None)
+
     def _make_dq(self, state):
         """Return traced fn (q, aux, dt, t) -> (dq_interior, cfl)."""
         rp = self.rp.rp
@@ -120,6 +135,26 @@ class SharpClawSolver(Solver):
         if char_decomp == 2 and evec is None:
             raise ValueError(f"char_decomp={char_decomp} needs an evec hook "
                              f"on Riemann solver {self.rp.name}")
+
+        if self._soa_eligible(state):
+            # SoA fast path (sharpclaw/soa.py): same numerics, no
+            # transposes / AoS wave tensors — the cfg4 hot path
+            from . import soa as sc_soa
+            rpn_soa = self.rp.rpn_soa
+            dx2, dy2 = deltas
+
+            def kern_soa(qbc, auxbc, dt, t):
+                return sc_soa.dq_2d_soa(qbc, dt, dx2, dy2, rpn_soa,
+                                        params, weno_order, g,
+                                        positivity=positivity)
+            base = self._wrap_bc_kernel(kern_soa, state)
+            if dq_src is None:
+                return base
+
+            def dq_s(q, aux, dt, t):
+                d, cfl = base(q, aux, dt, t)
+                return d + dt * dq_src(self, state, q, dt, t), cfl
+            return dq_s
 
         def kern(qbc, auxbc, dt, t):
             if num_dim == 1:
@@ -166,21 +201,26 @@ class SharpClawSolver(Solver):
                 return qn, jnp.maximum(c1, jnp.maximum(c2, c3))
 
         elif integrator == "SSP104":
+            from jax import lax
+
             def step(q, aux, dt, t):
                 # Ketcheson SSP(10,4) low-storage 2-register scheme
-                # (reference sharpclaw/solver.py SSP104 branch)
-                s1 = q
-                cfl = jnp.zeros((), q.dtype)
-                for i in range(5):
-                    d, c = dq(s1, aux, dt, t + i * dt / 6.0)
-                    s1 = s1 + d / 6.0
-                    cfl = jnp.maximum(cfl, c)
+                # (reference sharpclaw/solver.py SSP104 branch).  The two
+                # identical-stage runs are lax.fori_loops so the dq graph
+                # is traced/compiled 3x, not 10x (10 unrolled SoA stages
+                # took minutes of XLA compile at 1024^2)
+                def body(i, carry, off):
+                    s1_, cfl_ = carry
+                    d, c = dq(s1_, aux, dt, t + (i + off) * dt / 6.0)
+                    return s1_ + d / 6.0, jnp.maximum(cfl_, c)
+
+                s1, cfl = lax.fori_loop(
+                    0, 5, lambda i, c: body(i, c, 0),
+                    (q, jnp.zeros((), q.dtype)))
                 s2 = q / 25.0 + (9.0 / 25.0) * s1
                 s1 = 15.0 * s2 - 5.0 * s1
-                for i in range(4):
-                    d, c = dq(s1, aux, dt, t + (i + 6) * dt / 6.0)
-                    s1 = s1 + d / 6.0
-                    cfl = jnp.maximum(cfl, c)
+                s1, cfl = lax.fori_loop(
+                    0, 4, lambda i, c: body(i, c, 6), (s1, cfl))
                 d, c = dq(s1, aux, dt, t + dt)
                 cfl = jnp.maximum(cfl, c)
                 qn = s2 + 0.6 * s1 + 0.1 * d

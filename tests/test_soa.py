@@ -81,3 +81,24 @@ def test_soa_is_default_for_eligible():
     assert solver._soa_eligible(state)
     solver.fwave = True
     assert not solver._soa_eligible(state)
+
+
+@pytest.mark.parametrize("weno_order", [5, 7])
+def test_sharpclaw_soa_matches_generic(weno_order):
+    """SharpClaw SoA dq path (sharpclaw/soa.py) vs the generic dq_nd."""
+    def one_step(use_soa):
+        solver = pyclaw.SharpClawSolver2D(riemann.euler_4wave_2D)
+        solver.use_soa = use_soa
+        solver.weno_order = weno_order
+        solver.all_bcs = pyclaw.BC.periodic
+        rng = np.random.default_rng(9)
+        state, domain = _random_state(solver, rng)
+        sol = pyclaw.Solution(state, domain)
+        solver.setup(sol)
+        q_new, cfl = solver._step_fn(jnp.asarray(state.q), None, 1e-4, 0.0)
+        return np.asarray(q_new), float(cfl)
+
+    q_soa, c_soa = one_step(True)
+    q_aos, c_aos = one_step(False)
+    np.testing.assert_allclose(q_soa, q_aos, atol=1e-13)
+    assert abs(c_soa - c_aos) < 1e-13

@@ -3,13 +3,21 @@
 scaling study).
 
 Fixes the per-device subgrid size and grows the mesh; reports
-cell-updates/s and parallel efficiency vs the 1-device run.  On this dev
-machine only 1 TPU chip exists, so the multi-device rows run on virtual
-CPU devices (communication-pattern validation, not a perf claim);
-on a pod slice the same script measures the real thing.
+cell-updates/s and parallel efficiency vs the 1-device run.
 
     python tools/weak_scaling.py                 # real backend, 1 device
     python tools/weak_scaling.py devices=8 cpu=1 # 8 virtual CPU devices
+    python tools/weak_scaling.py distributed=1   # N hosts: run the SAME
+        command on every host of the slice (init_distributed autodetects
+        TPU pod topology; or set JAX_COORDINATOR_ADDRESS).  One row over
+        all global devices; process 0 prints.
+
+On this dev machine only 1 TPU chip exists, so multi-device rows run on
+virtual CPU devices (communication-pattern validation, not a perf
+claim); on a pod slice the same script measures the real thing.
+Timing uses long-minus-short differencing of chained dispatches with a
+final readback, so remote/tunneled dispatch overhead cancels (same
+methodology as bench.py).
 """
 
 import json
@@ -17,27 +25,36 @@ import sys
 import time
 
 
-def main(local=512, nsteps=20, devices=None, cpu=0):
+def main(local=512, nsteps=20, devices=None, cpu=0, distributed=0):
     import os
     if cpu:
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                    + f" --xla_force_host_platform_device_count={devices or 8}")
+
+    if distributed:
+        # must precede any other JAX usage
+        from pyclaw_tpu.parallel import init_distributed
+        init_distributed()
+
     import jax
     if cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
-    import numpy as np
 
     import pyclaw_tpu as pyclaw
     from pyclaw_tpu import parallel, riemann
     from pyclaw_tpu.parallel.mesh import make_mesh
 
     ndev_avail = len(jax.devices())
-    counts = []
-    n = 1
-    while n <= (devices or ndev_avail):
-        counts.append(n)
-        n *= 2
+    main_proc = jax.process_index() == 0
+    if distributed:
+        counts = [ndev_avail]        # one row: the whole slice
+    else:
+        counts = []
+        n = 1
+        while n <= (devices or ndev_avail):
+            counts.append(n)
+            n *= 2
 
     results = []
     base_cups = None
@@ -58,22 +75,31 @@ def main(local=512, nsteps=20, devices=None, cpu=0):
         q = jnp.asarray(state.q)
         dt = 0.2 / mx
         step = solver._step_fn
-        qq, cfl = step(q, None, dt, 0.0)
-        qq.block_until_ready()
-        t0 = time.perf_counter()
-        qq = q
-        for _ in range(nsteps):
-            qq, cfl = step(qq, None, dt, 0.0)
-        qq.block_until_ready()
-        el = time.perf_counter() - t0
+
+        def timed(k):
+            best = float("inf")
+            for _ in range(2):
+                qq = q
+                t0 = time.perf_counter()
+                for _ in range(k):
+                    qq, cfl = step(qq, None, dt, 0.0)
+                float(jnp.max(jnp.abs(qq[0, ::256, ::256]))) + float(cfl)
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        timed(2)                      # compile + warm caches
+        el = timed(nsteps + 5) - timed(5)
         cups = mx * my * nsteps / el
         if base_cups is None:
             base_cups = cups
         eff = cups / (base_cups * ndev)
-        results.append({"devices": ndev, "grid": [mx, my],
+        results.append({"devices": ndev,
+                        "hosts": jax.process_count(),
+                        "grid": [mx, my],
                         "cell_updates_per_sec": round(cups, 1),
                         "efficiency_vs_1dev": round(eff, 4)})
-        print(json.dumps(results[-1]))
+        if main_proc:
+            print(json.dumps(results[-1]))
     return results
 
 
