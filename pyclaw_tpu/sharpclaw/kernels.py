@@ -179,6 +179,50 @@ def _recon_char(qbc, auxbc, params, evec, ixy, weno_order):
     return ql, qr
 
 
+def _recon_char_trans(qbc, auxbc, params, evec, ixy, weno_order):
+    """Transmission-based characteristic WENO reconstruction (reference
+    weno.f90 weno5_trans / reconstruct.f90 char_decomp=3 path, any
+    supported order).
+
+    In heterogeneous media the absolute characteristic variables w = L q
+    are not comparable across material interfaces (L varies per cell), so
+    projecting the stencil's cell VALUES onto one basis (char_decomp=2)
+    mixes incompatible quantities.  Only the interface JUMPS decompose
+    meaningfully: each jump Delta q is projected onto the TARGET cell's
+    local basis — the component of the neighbour's jump that transmits
+    into cell i's wave families — and the cumulative sums of those
+    transmitted strengths form per-family pseudo-fields (zero at cell i)
+    whose WENO edge values are added back through R_i.
+
+    For constant-coefficient systems L is uniform and this reduces
+    exactly to char_decomp=2 (the pseudo-field is w shifted by the
+    constant w_i, and WENO edge reconstruction commutes with constant
+    shifts) — tests/test_char_decomp.py uses that as the oracle."""
+    R, L = evec(ixy, qbc, auxbc, params)
+    k = (weno_order + 1) // 2
+    # interface-indexed jumps, padded so dq_pad[..., i] = q_{i+1} - q_i
+    dq = qbc[..., 1:] - qbc[..., :-1]
+    dq_pad = jnp.concatenate([dq, jnp.zeros_like(dq[..., :1])], axis=-1)
+    # alpha_m[..., i] = L_i . (Delta q at interface i+m): the strength of
+    # the jump m interfaces away as transmitted into cell i's families
+    alpha = {m: jnp.einsum("ab...,b...->a...", L, _shift_ifc(dq_pad, m))
+             for m in range(-k + 1, k - 1)}
+
+    def pseudo(j):
+        # v_j - v_{j-1} = alpha_{j-1}; v_0 = 0 (cell i itself)
+        if j == 0:
+            return jnp.zeros_like(qbc)
+        if j > 0:
+            return sum(alpha[m] for m in range(0, j))
+        return -sum(alpha[m] for m in range(j, 0))
+
+    ws = [pseudo(j) for j in range(-k + 1, k)]
+    wl, wr = recon.weno_stencil(weno_order, ws)
+    ql = qbc + jnp.einsum("ab...,b...->a...", R, wl)
+    qr = qbc + jnp.einsum("ab...,b...->a...", R, wr)
+    return ql, qr
+
+
 def dq_1d(qbc, auxbc, dt, dx, rp, params, lim_type, weno_order, index_capa,
           num_ghost, ixy=0, tfluct=None, char_decomp=0, evec=None,
           positivity=None, backend="xla", tvd_limiter=4):
@@ -198,10 +242,15 @@ def dq_1d(qbc, auxbc, dt, dx, rp, params, lim_type, weno_order, index_capa,
     elif char_decomp == 2 and evec is not None and lim_type == 1:
         ql, qr = _recon_char_tvd(qbc, auxbc, params, evec, ixy,
                                  tvd_limiter=tvd_limiter)
-    elif char_decomp == 3:
-        raise NotImplementedError(
-            "char_decomp=3 (transmission-based reconstruction) is not "
-            "ported; use 1 (wave) or 2 (characteristic)")
+    elif char_decomp == 3 and evec is not None and lim_type == 2:
+        ql, qr = _recon_char_trans(qbc, auxbc, params, evec, ixy,
+                                   weno_order)
+    elif char_decomp == 3 and evec is not None and lim_type == 1:
+        # the TVD characteristic path already slope-limits LOCAL-basis
+        # jumps L_i(q_i - q_{i +/- 1}) — it is transmission-based by
+        # construction, so modes 2 and 3 coincide for lim_type=1
+        ql, qr = _recon_char_tvd(qbc, auxbc, params, evec, ixy,
+                                 tvd_limiter=tvd_limiter)
     else:
         ql, qr = _recon(qbc, lim_type, weno_order,
                         tvd_limiter=tvd_limiter, backend=backend)

@@ -14,8 +14,9 @@ tfluct_solver/tfluct, dq_src (semidiscrete source: fn(solver, state, q, dt,
 t) -> dq contribution, jax-traceable), call_before_step_each_stage,
 cfl_max/cfl_desired per-integrator defaults (SSP104: 2.5/2.45).
 char_decomp: 0 componentwise, 1 wave-slope (Riemann waves; TVD and
-wave-space WENO forms), 2 characteristic (evec hook; TVD and WENO forms);
-3 (transmission-based) is not ported.
+wave-space WENO forms), 2 characteristic (evec hook; TVD and WENO forms),
+3 transmission-based (evec hook; local-basis jump projection — for
+heterogeneous media; coincides with 2 for constant coefficients).
 """
 
 from __future__ import annotations
@@ -132,7 +133,7 @@ class SharpClawSolver(Solver):
         evec = self.rp.evec
         positivity = self.rp.positivity
         backend = self.backend
-        if char_decomp == 2 and evec is None:
+        if char_decomp in (2, 3) and evec is None:
             raise ValueError(f"char_decomp={char_decomp} needs an evec hook "
                              f"on Riemann solver {self.rp.name}")
 

@@ -38,24 +38,35 @@ def main(mx=1024, my=1024, dtype="float32", solver_type="classic"):
     dt_bytes = {"f32": 4, "f64": 8, "pred": 1, "s32": 4, "u32": 4}
     op_bytes = defaultdict(int)
     op_count = defaultdict(int)
-    # lines like:  %pad.5 = f32[4,4,1023,1024]{...} pad(...)
-    pat = re.compile(r"= ([a-z0-9]+)\[([0-9,]*)\][^ ]* ([a-z\-]+)\(")
+    hbm_bytes = defaultdict(int)
+    hbm_count = defaultdict(int)
+    # lines like:  %pad.5 = f32[4,4,1023,1024]{2,1,0:T(8,128)S(1)} pad(...)
+    # S(1) in the layout = alternate memory space (VMEM) — those outputs
+    # never touch HBM; only space-0 buffers count toward HBM write traffic.
+    pat = re.compile(r"= ([a-z0-9]+)\[([0-9,]*)\](\{[^}]*\})? ([a-z\-]+)\(")
     for m in pat.finditer(txt):
-        dty, shape, op = m.groups()
+        dty, shape, layout, op = m.groups()
         if dty not in dt_bytes:
             continue
         n = 1
         for s in shape.split(","):
             if s:
                 n *= int(s)
-        op_bytes[op] += n * dt_bytes[dty]
+        b = n * dt_bytes[dty]
+        op_bytes[op] += b
         op_count[op] += 1
+        if not (layout and "S(1)" in layout):
+            hbm_bytes[op] += b
+            hbm_count[op] += 1
 
     total = sum(op_bytes.values())
+    hbm_total = sum(hbm_bytes.values())
     print(f"-- output-buffer bytes by opcode (step @ {mx}x{my} {dtype}) --")
+    print(f"{'opcode':20s} {'all':>10s}        {'HBM-only':>10s}")
     for op in sorted(op_bytes, key=op_bytes.get, reverse=True)[:15]:
-        print(f"{op:20s} {op_bytes[op]/1e9:8.3f} GB  x{op_count[op]}")
-    print(f"{'TOTAL':20s} {total/1e9:8.3f} GB")
+        print(f"{op:20s} {op_bytes[op]/1e9:8.3f} GB x{op_count[op]:<4d} "
+              f"{hbm_bytes[op]/1e9:8.3f} GB x{hbm_count[op]}")
+    print(f"{'TOTAL':20s} {total/1e9:8.3f} GB       {hbm_total/1e9:8.3f} GB")
     try:
         ma = compiled.memory_analysis()
         print("peak HBM (bytes):", ma.temp_size_in_bytes,
