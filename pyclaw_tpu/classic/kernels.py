@@ -534,3 +534,69 @@ def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
     for d in range(3):
         out = _slc(out, 1 + d, slice(g - 1, out.shape[1 + d] - (g - 1)))
     return out, cfl
+
+
+def step2_tiled(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order, fwave,
+                index_capa, num_ghost, transverse_waves=2, tile_rows=128):
+    """Row-tiled driver around :func:`step2` — same VMEM-blocking trick
+    as classic/soa.py step2_soa_tiled, for the generic AoS kernel (aux,
+    capacity, fwave, custom-amdq solvers).  Blocks of ``tile_rows``
+    interior rows + num_ghost apron sequenced by ``lax.map``: per-tile
+    intermediates (wave tensors, flux planes) stay small enough for
+    XLA's memory-space assignment to hold in VMEM.  Bit-identical to the
+    monolithic step; falls back to it when the rows don't divide."""
+    from jax import lax
+
+    g = num_ghost
+    num_eqn, nx, ny = q.shape
+    rows = nx - 2 * g
+    if tile_rows is None or tile_rows <= 0 or rows % tile_rows != 0 \
+            or rows // tile_rows < 2:
+        return step2(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order,
+                     fwave, index_capa, g, transverse_waves)
+    nt = rows // tile_rows
+
+    def body(s):
+        blk = lax.dynamic_slice(q, (0, s, 0),
+                                (num_eqn, tile_rows + 2 * g, ny))
+        ablk = None if aux is None else lax.dynamic_slice(
+            aux, (0, s, 0), (aux.shape[0], tile_rows + 2 * g, ny))
+        return step2(blk, ablk, dt, dx, dy, rp, rpt, params, mthlim,
+                     order, fwave, index_capa, g, transverse_waves)
+
+    outs, cfls = lax.map(body, jnp.arange(nt) * tile_rows)
+    q_new = jnp.moveaxis(outs, 0, 1).reshape(num_eqn, rows, ny - 2 * g)
+    return q_new, jnp.max(cfls)
+
+
+def step3_tiled(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim,
+                order, fwave, index_capa, num_ghost, transverse_waves=2,
+                tile_rows=16):
+    """x-tiled driver around :func:`step3` (same VMEM-blocking trick in
+    3D — tiles along the leading spatial axis, full y/z extent per
+    tile).  Bit-identical; falls back when the rows don't divide."""
+    from jax import lax
+
+    g = num_ghost
+    num_eqn, nx, ny, nz = q.shape
+    rows = nx - 2 * g
+    if tile_rows is None or tile_rows <= 0 or rows % tile_rows != 0 \
+            or rows // tile_rows < 2:
+        return step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params,
+                     mthlim, order, fwave, index_capa, g,
+                     transverse_waves)
+    nt = rows // tile_rows
+
+    def body(s):
+        blk = lax.dynamic_slice(q, (0, s, 0, 0),
+                                (num_eqn, tile_rows + 2 * g, ny, nz))
+        ablk = None if aux is None else lax.dynamic_slice(
+            aux, (0, s, 0, 0), (aux.shape[0], tile_rows + 2 * g, ny, nz))
+        return step3(blk, ablk, dt, dx, dy, dz, rp, rpt, rptt, params,
+                     mthlim, order, fwave, index_capa, g,
+                     transverse_waves)
+
+    outs, cfls = lax.map(body, jnp.arange(nt) * tile_rows)
+    q_new = jnp.moveaxis(outs, 0, 1).reshape(num_eqn, rows, ny - 2 * g,
+                                             nz - 2 * g)
+    return q_new, jnp.max(cfls)

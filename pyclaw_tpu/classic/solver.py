@@ -147,6 +147,9 @@ class ClawSolver2D(ClawSolver):
         self.dimensional_split = False
         self.transverse_waves = 2
         self.use_soa = True   # False forces the generic AoS kernel
+        # row-tile size for the tiled SoA driver (keeps per-tile
+        # intermediates in VMEM); None/0 = monolithic step
+        self.soa_tile_rows = 128
 
     def _make_hyperbolic_step(self, state):
         rp = self.rp.rp
@@ -202,13 +205,25 @@ class ClawSolver2D(ClawSolver):
             rpn_soa = self.rp.rpn_soa
             rpt_soa = self.rp.rpt_soa
 
+            tile_rows = getattr(self, "soa_tile_rows", 128)
+
             def kern_soa(qbc, auxbc, dt, t):
-                return soa.step2_soa(qbc, dt, dx, dy, rpn_soa, rpt_soa,
-                                     params, mthlim, order, g,
-                                     transverse_waves=tw)
+                return soa.step2_soa_tiled(qbc, dt, dx, dy, rpn_soa,
+                                           rpt_soa, params, mthlim, order,
+                                           g, transverse_waves=tw,
+                                           tile_rows=tile_rows)
             return self._wrap_bc_kernel(kern_soa, state)
         else:
-            step2_fn = kernels.step2
+            # generic AoS kernel, row-tiled for VMEM blocking
+            tile_rows = getattr(self, "soa_tile_rows", 128)
+
+            def kern(qbc, auxbc, dt, t):
+                return kernels.step2_tiled(qbc, auxbc, dt, dx, dy, rp,
+                                           rpt, params, mthlim, order,
+                                           fwave, index_capa, g,
+                                           transverse_waves=tw,
+                                           tile_rows=tile_rows)
+            return self._wrap_bc_kernel(kern, state)
 
         def kern(qbc, auxbc, dt, t):
             return step2_fn(qbc, auxbc, dt, dx, dy, rp, rpt, params,
@@ -249,6 +264,9 @@ class ClawSolver3D(ClawSolver):
         self.transverse_waves = 2
         self.cfl_max = 1.0
         self.cfl_desired = 0.9
+        # x-tile size for the tiled step3 driver (VMEM blocking);
+        # None/0 = monolithic step
+        self.soa_tile_rows = 16
 
     def setup(self, solution):
         if (not self.dimensional_split and self.transverse_waves >= 2
@@ -290,9 +308,12 @@ class ClawSolver3D(ClawSolver):
             return hyper
 
         tw = self.transverse_waves
+        tile_rows = getattr(self, "soa_tile_rows", 16)
 
         def kern(qbc, auxbc, dt, t):
-            return kernels.step3(qbc, auxbc, dt, dx, dy, dz, rp, rpt,
-                                 rptt, params, mthlim, order, fwave,
-                                 index_capa, g, transverse_waves=tw)
+            return kernels.step3_tiled(qbc, auxbc, dt, dx, dy, dz, rp,
+                                       rpt, rptt, params, mthlim, order,
+                                       fwave, index_capa, g,
+                                       transverse_waves=tw,
+                                       tile_rows=tile_rows)
         return self._wrap_bc_kernel(kern, state)

@@ -149,3 +149,33 @@ def dq_2d_soa(qbc, dt, dx, dy, rpn_soa, params, weno_order, num_ghost,
         y_part = dqy[e][g:nx - g, g - 1:ny - 1 - g]
         out.append(x_part + y_part)
     return jnp.stack(out), jnp.maximum(cflx, cfly)
+
+
+def dq_2d_soa_tiled(qbc, dt, dx, dy, rpn_soa, params, weno_order,
+                    num_ghost, positivity=None, tile_rows=128):
+    """Row-tiled driver around :func:`dq_2d_soa` (same trick as
+    classic/soa.py step2_soa_tiled): blocks of ``tile_rows`` interior
+    rows + num_ghost apron, sequenced by ``lax.map`` so every per-tile
+    intermediate (WENO stencils, wave chains) fits in VMEM instead of
+    round-tripping HBM.  Bit-identical to the monolithic form; falls
+    back to it when the rows don't divide."""
+    from jax import lax
+
+    g = num_ghost
+    num_eqn, nx, ny = qbc.shape
+    rows = nx - 2 * g
+    if tile_rows is None or tile_rows <= 0 or rows % tile_rows != 0 \
+            or rows // tile_rows < 2:
+        return dq_2d_soa(qbc, dt, dx, dy, rpn_soa, params, weno_order,
+                         g, positivity)
+    nt = rows // tile_rows
+
+    def body(s):
+        blk = lax.dynamic_slice(qbc, (0, s, 0),
+                                (num_eqn, tile_rows + 2 * g, ny))
+        return dq_2d_soa(blk, dt, dx, dy, rpn_soa, params, weno_order,
+                         g, positivity)
+
+    outs, cfls = lax.map(body, jnp.arange(nt) * tile_rows)
+    dq = jnp.moveaxis(outs, 0, 1).reshape(num_eqn, rows, ny - 2 * g)
+    return dq, jnp.max(cfls)

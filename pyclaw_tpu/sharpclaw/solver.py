@@ -51,6 +51,9 @@ class SharpClawSolver(Solver):
         self.call_before_step_each_stage = False
         self.char_decomp = 0
         self.use_soa = True   # False forces the generic AoS dq kernels
+        # row-tile size for the tiled SoA driver (keeps per-tile
+        # intermediates in VMEM); None/0 = monolithic sweep
+        self.soa_tile_rows = 128
         self.backend = DEFAULT_BACKEND
         self._step_fn = None
         self._cfl_set_by_user = False
@@ -143,11 +146,13 @@ class SharpClawSolver(Solver):
             from . import soa as sc_soa
             rpn_soa = self.rp.rpn_soa
             dx2, dy2 = deltas
+            tile_rows = getattr(self, "soa_tile_rows", 128)
 
             def kern_soa(qbc, auxbc, dt, t):
-                return sc_soa.dq_2d_soa(qbc, dt, dx2, dy2, rpn_soa,
-                                        params, weno_order, g,
-                                        positivity=positivity)
+                return sc_soa.dq_2d_soa_tiled(qbc, dt, dx2, dy2, rpn_soa,
+                                              params, weno_order, g,
+                                              positivity=positivity,
+                                              tile_rows=tile_rows)
             base = self._wrap_bc_kernel(kern_soa, state)
             if dq_src is None:
                 return base

@@ -111,3 +111,14 @@ def test_mesh_factorization():
     assert sorted(m.devices.shape, reverse=True) in ([4, 2], [8, 1])
     m1 = parallel.make_mesh(1)
     assert m1.devices.shape == (8,)
+
+
+def test_decomposition_invariance_2d_tiled_soa():
+    """The row-tiled SoA driver running INSIDE shard_map (small enough
+    tile that each shard's local block actually tiles) must still match
+    the serial monolithic result exactly."""
+    q_serial = _run_2d(pyclaw.ClawSolver2D(riemann.acoustics_2D))
+    s = parallel.ClawSolver2D(riemann.acoustics_2D)
+    s.soa_tile_rows = 8     # 64 rows / N shards stays divisible by 8
+    q_dist = _run_2d(s)
+    np.testing.assert_allclose(q_dist, q_serial, atol=1e-13)

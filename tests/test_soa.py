@@ -102,3 +102,69 @@ def test_sharpclaw_soa_matches_generic(weno_order):
     q_aos, c_aos = one_step(False)
     np.testing.assert_allclose(q_soa, q_aos, atol=1e-13)
     assert abs(c_soa - c_aos) < 1e-13
+
+
+@pytest.mark.parametrize("tile", [4, 8, 16])
+def test_soa_tiled_matches_monolithic(tile):
+    """Row-tiled SoA driver (VMEM-blocked lax.map) vs monolithic step:
+    bit-level agreement for every tile size that divides the grid, and
+    clean fallback when it doesn't."""
+    from pyclaw_tpu.classic import soa
+
+    solver = pyclaw.ClawSolver2D(riemann.euler_4wave_2D)
+    solver.all_bcs = pyclaw.BC.periodic
+    rng = np.random.default_rng(11)
+    state, domain = _random_state(solver, rng, n=(32, 20))
+    sol = pyclaw.Solution(state, domain)
+    solver.setup(sol)
+    qbc = jnp.pad(jnp.asarray(state.q), ((0, 0), (2, 2), (2, 2)),
+                  mode="wrap")
+    args = (1e-3, 1.0 / 32, 1.0 / 20, solver.rp.rpn_soa,
+            solver.rp.rpt_soa, dict(state.problem_data),
+            solver._mthlim(), 2, 2)
+    q_mono, c_mono = soa.step2_soa(qbc, *args)
+    q_tile, c_tile = soa.step2_soa_tiled(qbc, *args, tile_rows=tile)
+    np.testing.assert_allclose(np.asarray(q_tile), np.asarray(q_mono),
+                               atol=1e-14)
+    assert abs(float(c_tile) - float(c_mono)) < 1e-14
+
+
+def test_soa_tiled_solver_attribute():
+    """solver.soa_tile_rows drives the production step; a tiled and an
+    untiled solver produce identical evolutions."""
+    def run(tile):
+        solver = pyclaw.ClawSolver2D(riemann.euler_4wave_2D)
+        solver.all_bcs = pyclaw.BC.periodic
+        solver.soa_tile_rows = tile
+        rng = np.random.default_rng(5)
+        state, domain = _random_state(solver, rng, n=(32, 20))
+        sol = pyclaw.Solution(state, domain)
+        solver.setup(sol)
+        return solver._step_fn(jnp.asarray(state.q), None, 1e-3, 0.0)
+
+    q_t, c_t = run(8)
+    q_u, c_u = run(0)
+    np.testing.assert_allclose(np.asarray(q_t), np.asarray(q_u),
+                               atol=1e-14)
+    assert abs(float(c_t) - float(c_u)) < 1e-14
+
+
+def test_sharpclaw_soa_tiled_matches_monolithic():
+    from pyclaw_tpu.sharpclaw import soa as sc_soa
+
+    solver = pyclaw.SharpClawSolver2D(riemann.euler_4wave_2D)
+    solver.all_bcs = pyclaw.BC.periodic
+    rng = np.random.default_rng(7)
+    state, domain = _random_state(solver, rng, n=(32, 20))
+    sol = pyclaw.Solution(state, domain)
+    solver.setup(sol)
+    g = solver.num_ghost
+    qbc = jnp.pad(jnp.asarray(state.q), ((0, 0), (g, g), (g, g)),
+                  mode="wrap")
+    args = (1e-3, 1.0 / 32, 1.0 / 20, solver.rp.rpn_soa,
+            dict(state.problem_data), solver.weno_order, g)
+    d_mono, c_mono = sc_soa.dq_2d_soa(qbc, *args)
+    d_tile, c_tile = sc_soa.dq_2d_soa_tiled(qbc, *args, tile_rows=8)
+    np.testing.assert_allclose(np.asarray(d_tile), np.asarray(d_mono),
+                               atol=1e-14)
+    assert abs(float(c_tile) - float(c_mono)) < 1e-14

@@ -1,0 +1,83 @@
+"""Row-tiled generic (AoS) kernel drivers vs monolithic kernels:
+step2_tiled / step3_tiled must be bit-identical to step2 / step3
+(dual-path oracle for the VMEM-blocking production fast path)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import pyclaw_tpu as pyclaw
+from pyclaw_tpu import riemann
+
+
+def _step2_generic(tile):
+    solver = pyclaw.ClawSolver2D(riemann.shallow_roe_with_efix_2D)
+    solver.all_bcs = pyclaw.BC.extrap
+    solver.soa_tile_rows = tile
+    domain = pyclaw.Domain([-1.0, -1.0], [1.0, 1.0], [32, 24])
+    state = pyclaw.State(domain, solver.rp.num_eqn)
+    state.problem_data["grav"] = 1.0
+    x, y = domain.grid.c_centers
+    r = np.sqrt(x ** 2 + y ** 2)
+    state.q[0] = np.where(r < 0.5, 2.0, 1.0)
+    state.q[1] = 0.0
+    state.q[2] = 0.0
+    sol = pyclaw.Solution(state, domain)
+    solver.setup(sol)
+    assert not solver._soa_eligible(state)   # efix custom amdq -> generic
+    q, cfl = solver._step_fn(jnp.asarray(state.q), None, 1e-3, 0.0)
+    return np.asarray(q), float(cfl)
+
+
+def test_step2_tiled_matches_monolithic():
+    q_t, c_t = _step2_generic(8)
+    q_u, c_u = _step2_generic(0)
+    np.testing.assert_allclose(q_t, q_u, atol=1e-14)
+    assert abs(c_t - c_u) < 1e-14
+
+
+def _step2_generic_aux(tile):
+    """Generic kernel with aux + capacity (annulus vc advection)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    from advection_2d_annulus import setup
+    claw = setup(mr=24, mth=16, outdir=None)
+    claw.solver.soa_tile_rows = tile
+    claw.tfinal = 0.05
+    claw.num_output_times = 1
+    claw.run()
+    return np.asarray(claw.solution.q)
+
+
+def test_step2_tiled_aux_capacity():
+    q_t = _step2_generic_aux(8)
+    q_u = _step2_generic_aux(0)
+    np.testing.assert_allclose(q_t, q_u, atol=1e-13)
+
+
+def _step3(tile):
+    solver = pyclaw.ClawSolver3D(riemann.euler_3D)
+    solver.all_bcs = pyclaw.BC.extrap
+    solver.soa_tile_rows = tile
+    domain = pyclaw.Domain([-1.0] * 3, [1.0] * 3, [16, 12, 12])
+    state = pyclaw.State(domain, solver.rp.num_eqn)
+    state.problem_data["gamma"] = 1.4
+    x, y, z = domain.grid.c_centers
+    r = np.sqrt(x ** 2 + y ** 2 + z ** 2)
+    state.q[0] = np.where(r < 0.5, 2.0, 1.0)
+    state.q[1] = 0.0
+    state.q[2] = 0.0
+    state.q[3] = 0.0
+    state.q[4] = np.where(r < 0.5, 5.0, 2.5)
+    sol = pyclaw.Solution(state, domain)
+    solver.setup(sol)
+    q, cfl = solver._step_fn(jnp.asarray(state.q), None, 1e-3, 0.0)
+    return np.asarray(q), float(cfl)
+
+
+def test_step3_tiled_matches_monolithic():
+    q_t, c_t = _step3(4)
+    q_u, c_u = _step3(0)
+    np.testing.assert_allclose(q_t, q_u, atol=1e-14)
+    assert abs(c_t - c_u) < 1e-14
