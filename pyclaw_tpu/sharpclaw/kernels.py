@@ -326,3 +326,47 @@ def dq_nd(qbc, auxbc, dt, deltas, rp, params, lim_type, weno_order,
         dq_total = dqd if dq_total is None else dq_total + dqd
         cfl = cfld if cfl is None else jnp.maximum(cfl, cfld)
     return dq_total, cfl
+
+
+def dq_nd_tiled(qbc, auxbc, dt, deltas, rp, params, lim_type, weno_order,
+                index_capa, num_ghost, tfluct=None, char_decomp=0,
+                evec=None, positivity=None, backend="xla", tvd_limiter=4,
+                tile_rows=128):
+    """Row-tiled driver around :func:`dq_nd` (same VMEM-blocking trick as
+    classic/kernels.step2_tiled): any kernel that maps a ghost-padded
+    block to its interior with stencil radius <= num_ghost tiles this
+    way.  Blocks of ``tile_rows`` interior rows along the first spatial
+    axis + num_ghost apron, sequenced by ``lax.map``.  Bit-identical;
+    falls back to the monolithic form when the rows don't divide."""
+    from jax import lax
+
+    g = num_ghost
+    num_eqn = qbc.shape[0]
+    nx = qbc.shape[1]
+    rows = nx - 2 * g
+    if tile_rows is None or tile_rows <= 0 or rows % tile_rows != 0 \
+            or rows // tile_rows < 2:
+        return dq_nd(qbc, auxbc, dt, deltas, rp, params, lim_type,
+                     weno_order, index_capa, g, tfluct=tfluct,
+                     char_decomp=char_decomp, evec=evec,
+                     positivity=positivity, backend=backend,
+                     tvd_limiter=tvd_limiter)
+    nt = rows // tile_rows
+    rest = qbc.shape[2:]
+
+    def body(s):
+        start = (0, s) + (0,) * len(rest)
+        blk = lax.dynamic_slice(qbc, start,
+                                (num_eqn, tile_rows + 2 * g) + rest)
+        ablk = None if auxbc is None else lax.dynamic_slice(
+            auxbc, start, (auxbc.shape[0], tile_rows + 2 * g) + rest)
+        return dq_nd(blk, ablk, dt, deltas, rp, params, lim_type,
+                     weno_order, index_capa, g, tfluct=tfluct,
+                     char_decomp=char_decomp, evec=evec,
+                     positivity=positivity, backend=backend,
+                     tvd_limiter=tvd_limiter)
+
+    outs, cfls = lax.map(body, jnp.arange(nt) * tile_rows)
+    out_rest = tuple(n - 2 * g for n in rest)
+    dq = jnp.moveaxis(outs, 0, 1).reshape((num_eqn, rows) + out_rest)
+    return dq, jnp.max(cfls)

@@ -171,13 +171,15 @@ class SharpClawSolver(Solver):
                                      positivity=positivity,
                                      backend=backend,
                                      tvd_limiter=tvd_limiter)
-            return kernels.dq_nd(qbc, auxbc, dt, deltas, rp, params,
-                                 lim_type, weno_order, index_capa, g,
-                                 tfluct=tfluct,
-                                 char_decomp=char_decomp, evec=evec,
-                                 positivity=positivity,
-                                 backend=backend,
-                                 tvd_limiter=tvd_limiter)
+            return kernels.dq_nd_tiled(qbc, auxbc, dt, deltas, rp, params,
+                                       lim_type, weno_order, index_capa,
+                                       g, tfluct=tfluct,
+                                       char_decomp=char_decomp, evec=evec,
+                                       positivity=positivity,
+                                       backend=backend,
+                                       tvd_limiter=tvd_limiter,
+                                       tile_rows=getattr(
+                                           self, "soa_tile_rows", 128))
         base = self._wrap_bc_kernel(kern, state)
         if dq_src is None:
             return base

@@ -81,3 +81,33 @@ def test_step3_tiled_matches_monolithic():
     q_u, c_u = _step3(0)
     np.testing.assert_allclose(q_t, q_u, atol=1e-14)
     assert abs(c_t - c_u) < 1e-14
+
+
+def _sharpclaw_generic(tile):
+    """Generic dq_nd path (char_decomp forces off the SoA fast path)."""
+    solver = pyclaw.SharpClawSolver2D(riemann.euler_4wave_2D)
+    solver.all_bcs = pyclaw.BC.extrap
+    solver.char_decomp = 2
+    solver.soa_tile_rows = tile
+    domain = pyclaw.Domain([-1.0, -1.0], [1.0, 1.0], [32, 24])
+    state = pyclaw.State(domain, solver.rp.num_eqn)
+    state.problem_data["gamma"] = 1.4
+    x, y = domain.grid.c_centers
+    r = np.sqrt(x ** 2 + y ** 2)
+    state.q[0] = np.where(r < 0.5, 2.0, 1.0)
+    state.q[1] = 0.0
+    state.q[2] = 0.0
+    state.q[3] = np.where(r < 0.5, 5.0, 2.5)
+    sol = pyclaw.Solution(state, domain)
+    solver.setup(sol)
+    dq, cfl = solver._dq_fn(jnp.asarray(state.q), None, 1e-3, 0.0) \
+        if hasattr(solver, "_dq_fn") else solver._step_fn(
+            jnp.asarray(state.q), None, 1e-3, 0.0)
+    return np.asarray(dq), float(cfl)
+
+
+def test_dq_nd_tiled_matches_monolithic():
+    d_t, c_t = _sharpclaw_generic(8)
+    d_u, c_u = _sharpclaw_generic(0)
+    np.testing.assert_allclose(d_t, d_u, atol=1e-14)
+    assert abs(c_t - c_u) < 1e-14
