@@ -550,8 +550,8 @@ def step2_tiled(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order, fwave,
     g = num_ghost
     num_eqn, nx, ny = q.shape
     rows = nx - 2 * g
-    if tile_rows is None or tile_rows <= 0 or rows % tile_rows != 0 \
-            or rows // tile_rows < 2:
+    tile_rows = auto_tile(rows, tile_rows)
+    if tile_rows is None:
         return step2(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order,
                      fwave, index_capa, g, transverse_waves)
     nt = rows // tile_rows
@@ -580,8 +580,8 @@ def step3_tiled(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim,
     g = num_ghost
     num_eqn, nx, ny, nz = q.shape
     rows = nx - 2 * g
-    if tile_rows is None or tile_rows <= 0 or rows % tile_rows != 0 \
-            or rows // tile_rows < 2:
+    tile_rows = auto_tile(rows, tile_rows)
+    if tile_rows is None:
         return step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params,
                      mthlim, order, fwave, index_capa, g,
                      transverse_waves)
@@ -600,3 +600,16 @@ def step3_tiled(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim,
     q_new = jnp.moveaxis(outs, 0, 1).reshape(num_eqn, rows, ny - 2 * g,
                                              nz - 2 * g)
     return q_new, jnp.max(cfls)
+
+
+def auto_tile(rows, cap):
+    """Pick the row-tile size for the VMEM-blocked drivers: the largest
+    divisor d of ``rows`` with d <= cap, rows//d >= 2, and d >= cap//4
+    (tiny tiles waste apron recompute).  None = don't tile."""
+    if not cap or cap <= 0 or rows < 4:
+        return None
+    lo = max(1, cap // 4)
+    for d in range(min(cap, rows // 2), lo - 1, -1):
+        if rows % d == 0:
+            return d
+    return None

@@ -218,8 +218,9 @@ def step2_soa_tiled(q, dt, dx, dy, rpn_soa, rpt_soa, params, mthlim, order,
     g = num_ghost
     num_eqn, nx, ny = q.shape
     rows = nx - 2 * g
-    if tile_rows is None or tile_rows <= 0 or rows % tile_rows != 0 \
-            or rows // tile_rows < 2:
+    from .kernels import auto_tile
+    tile_rows = auto_tile(rows, tile_rows)
+    if tile_rows is None:
         return step2_soa(q, dt, dx, dy, rpn_soa, rpt_soa, params, mthlim,
                          order, num_ghost, transverse_waves)
     nt = rows // tile_rows

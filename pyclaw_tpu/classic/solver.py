@@ -147,9 +147,12 @@ class ClawSolver2D(ClawSolver):
         self.dimensional_split = False
         self.transverse_waves = 2
         self.use_soa = True   # False forces the generic AoS kernel
-        # row-tile size for the tiled SoA driver (keeps per-tile
-        # intermediates in VMEM); None/0 = monolithic step
+        # row-tile cap for the VMEM-blocked drivers (auto_tile picks the
+        # largest divisor <= cap); None/0 = monolithic step
         self.soa_tile_rows = 128
+        # 'auto' = AoS when tiling engages (global-shape decision, see
+        # _family), SoA otherwise; or force 'aos' / 'soa'
+        self.kernel_family = "auto"
 
     def _make_hyperbolic_step(self, state):
         rp = self.rp.rp
@@ -197,10 +200,18 @@ class ClawSolver2D(ClawSolver):
                             mthlim, order, g, transverse_waves=tw,
                             tile=(tm, tn))
                     return self._wrap_bc_kernel(kern_tiled, state)
-            from ..ops import step2_pallas as step2_fn
-        elif self._soa_eligible(state):
+            from ..ops import step2_pallas
+
+            def kern_pl(qbc, auxbc, dt, t):
+                return step2_pallas(qbc, auxbc, dt, dx, dy, rp, rpt,
+                                    params, mthlim, order, fwave,
+                                    index_capa, g, transverse_waves=tw)
+            return self._wrap_bc_kernel(kern_pl, state)
+        elif self._family(state) == "soa":
             # SoA fast path (classic/soa.py): same numerics, the
-            # dataflow XLA fuses best on TPU — ~2x the AoS kernel
+            # dataflow XLA fuses best MONOLITHICALLY on TPU (recomputes
+            # the Roe algebra per consumer instead of spilling wave
+            # tensors) — the right family when row tiling can't engage
             from . import soa
             rpn_soa = self.rp.rpn_soa
             rpt_soa = self.rp.rpt_soa
@@ -214,7 +225,9 @@ class ClawSolver2D(ClawSolver):
                                            tile_rows=tile_rows)
             return self._wrap_bc_kernel(kern_soa, state)
         else:
-            # generic AoS kernel, row-tiled for VMEM blocking
+            # generic AoS kernel, row-tiled for VMEM blocking: with tiles
+            # resident in VMEM, materializing the wave tensors beats the
+            # SoA recompute (908M vs 835M cups at 1024^2 f32 on v5e)
             tile_rows = getattr(self, "soa_tile_rows", 128)
 
             def kern(qbc, auxbc, dt, t):
@@ -225,11 +238,28 @@ class ClawSolver2D(ClawSolver):
                                            tile_rows=tile_rows)
             return self._wrap_bc_kernel(kern, state)
 
-        def kern(qbc, auxbc, dt, t):
-            return step2_fn(qbc, auxbc, dt, dx, dy, rp, rpt, params,
-                            mthlim, order, fwave, index_capa, g,
-                            transverse_waves=tw)
-        return self._wrap_bc_kernel(kern, state)
+    def _family(self, state):
+        """Resolve the kernel family for this run: 'aos' (generic
+        materialized-wave kernel) or 'soa' (recompute dataflow).
+
+        ``solver.kernel_family`` = 'auto' | 'aos' | 'soa'.  'auto' picks
+        AoS whenever row tiling will engage on the GLOBAL grid (VMEM-
+        resident tiles make materialization faster than recompute) and
+        the SoA path otherwise.  The decision is made from the global
+        shape — identical in serial and distributed runs — so every
+        shard, and the boundary bands of the halo-overlap path, use the
+        same family and decomposition invariance stays at roundoff."""
+        fam = getattr(self, "kernel_family", "auto")
+        eligible = self._soa_eligible(state)
+        if fam == "soa":
+            return "soa" if eligible else "aos"
+        if fam == "aos":
+            return "aos"
+        rows_g = state.patch.num_cells_global[0]
+        cap = getattr(self, "soa_tile_rows", 128)
+        if kernels.auto_tile(rows_g, cap) is not None:
+            return "aos"
+        return "soa" if eligible else "aos"
 
     def _soa_eligible(self, state):
         """The SoA fast path covers the no-aux / no-capacity / wave-form

@@ -344,8 +344,9 @@ def dq_nd_tiled(qbc, auxbc, dt, deltas, rp, params, lim_type, weno_order,
     num_eqn = qbc.shape[0]
     nx = qbc.shape[1]
     rows = nx - 2 * g
-    if tile_rows is None or tile_rows <= 0 or rows % tile_rows != 0 \
-            or rows // tile_rows < 2:
+    from ..classic.kernels import auto_tile
+    tile_rows = auto_tile(rows, tile_rows)
+    if tile_rows is None:
         return dq_nd(qbc, auxbc, dt, deltas, rp, params, lim_type,
                      weno_order, index_capa, g, tfluct=tfluct,
                      char_decomp=char_decomp, evec=evec,

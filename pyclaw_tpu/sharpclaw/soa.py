@@ -164,8 +164,9 @@ def dq_2d_soa_tiled(qbc, dt, dx, dy, rpn_soa, params, weno_order,
     g = num_ghost
     num_eqn, nx, ny = qbc.shape
     rows = nx - 2 * g
-    if tile_rows is None or tile_rows <= 0 or rows % tile_rows != 0 \
-            or rows // tile_rows < 2:
+    from ..classic.kernels import auto_tile
+    tile_rows = auto_tile(rows, tile_rows)
+    if tile_rows is None:
         return dq_2d_soa(qbc, dt, dx, dy, rpn_soa, params, weno_order,
                          g, positivity)
     nt = rows // tile_rows

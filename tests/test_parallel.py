@@ -117,8 +117,12 @@ def test_decomposition_invariance_2d_tiled_soa():
     """The row-tiled SoA driver running INSIDE shard_map (small enough
     tile that each shard's local block actually tiles) must still match
     the serial monolithic result exactly."""
-    q_serial = _run_2d(pyclaw.ClawSolver2D(riemann.acoustics_2D))
+    s0 = pyclaw.ClawSolver2D(riemann.acoustics_2D)
+    s0.kernel_family = "soa"
+    q_serial = _run_2d(s0)
     s = parallel.ClawSolver2D(riemann.acoustics_2D)
+    s.kernel_family = "soa"   # family is pinned (it's global-shape
+    # driven anyway); the tile adapts to each shard's local rows
     s.soa_tile_rows = 8     # 64 rows / N shards stays divisible by 8
     q_dist = _run_2d(s)
     np.testing.assert_allclose(q_dist, q_serial, atol=1e-13)

@@ -135,6 +135,9 @@ def test_soa_tiled_solver_attribute():
     def run(tile):
         solver = pyclaw.ClawSolver2D(riemann.euler_4wave_2D)
         solver.all_bcs = pyclaw.BC.periodic
+        solver.kernel_family = "soa"   # pin the family: this test is
+        # about the tile attribute, and tiled-vs-monolithic is only
+        # bitwise WITHIN a family
         solver.soa_tile_rows = tile
         rng = np.random.default_rng(5)
         state, domain = _random_state(solver, rng, n=(32, 20))
