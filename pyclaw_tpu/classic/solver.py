@@ -243,23 +243,31 @@ class ClawSolver2D(ClawSolver):
         materialized-wave kernel) or 'soa' (recompute dataflow).
 
         ``solver.kernel_family`` = 'auto' | 'aos' | 'soa'.  'auto' picks
-        AoS whenever row tiling will engage on the GLOBAL grid (VMEM-
-        resident tiles make materialization faster than recompute) and
-        the SoA path otherwise.  The decision is made from the global
-        shape — identical in serial and distributed runs — so every
-        shard, and the boundary bands of the halo-overlap path, use the
-        same family and decomposition invariance stays at roundoff."""
+        AoS whenever row tiling will engage on the SHARD-LOCAL row count
+        (VMEM-resident tiles make materialization faster than recompute)
+        and the SoA path otherwise — tiling acts per local block, so a
+        distributed run whose shards are too thin to tile correctly
+        falls back to the SoA monolithic family (ADVICE r2 item 2).
+        The decision is made on the host from global shape + mesh —
+        identical on every shard, so the boundary bands of the
+        halo-overlap path use the same family and decomposition
+        invariance stays at roundoff."""
         fam = getattr(self, "kernel_family", "auto")
         eligible = self._soa_eligible(state)
         if fam == "soa":
             return "soa" if eligible else "aos"
         if fam == "aos":
             return "aos"
-        rows_g = state.patch.num_cells_global[0]
+        rows = self._family_rows(state)
         cap = getattr(self, "soa_tile_rows", 128)
-        if kernels.auto_tile(rows_g, cap) is not None:
+        if kernels.auto_tile(rows, cap) is not None:
             return "aos"
         return "soa" if eligible else "aos"
+
+    def _family_rows(self, state):
+        """Rows the tiled driver will actually see: shard-local in
+        distributed runs (parallel/solver.py overrides)."""
+        return state.patch.num_cells_global[0]
 
     def _soa_eligible(self, state):
         """The SoA fast path covers the no-aux / no-capacity / wave-form

@@ -165,6 +165,16 @@ class _DistributedMixin:
             return out, cfl
         return stepper
 
+    def _family_rows(self, state):
+        """Shard-local row count along dim 0 — the rows the tiled driver
+        sees inside shard_map — so kernel_family='auto' picks the family
+        that actually engages on each shard (ADVICE r2 item 2)."""
+        if self.mesh is None:
+            self.mesh = make_mesh(self.num_dim)
+        shape = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+        n0 = shape.get(AXIS_NAMES[0], 1)
+        return state.patch.num_cells_global[0] // n0
+
     # -- seam 3: shard_map + CFL reduction -----------------------------
     def _finalize_step(self, step_fn, state):
         if self.mesh is None:

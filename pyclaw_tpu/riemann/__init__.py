@@ -51,6 +51,13 @@ class RiemannSolver:
         # cells whose WENO edge states would be unphysical (negative
         # density/pressure near strong shocks — e.g. Woodward-Colella)
         self.positivity = None
+        # physical flux fn(ixy, q, aux, params) -> f (num_eqn, *n); used
+        # by SharpClaw for the in-cell total fluctuation f(qr)-f(ql)
+        # (reference flux1.f90's tfluct-free default) instead of a second
+        # Riemann solve.  flux_soa is the per-plane variant
+        # fn(ixy, qs_tuple, params) -> tuple (None = zero component).
+        self.flux = None
+        self.flux_soa = None
         self.requires = tuple(requires)  # required problem_data keys
 
     def __repr__(self):

@@ -144,15 +144,38 @@ def _evec_acoustics(ixy, q, aux, params):
     return jnp.asarray(R, dtype=dtype), jnp.asarray(L, dtype=dtype)
 
 
+def _flux_acoustics(ixy, q, aux, params):
+    """Linear acoustic flux along ixy: f = [K u_n, p/rho, 0...] with
+    K = zz*cc, rho = zz/cc (RiemannSolver.flux protocol)."""
+    zz, cc = _zc(params)
+    mu = 1 + ixy
+    f = jnp.zeros_like(q)
+    f = f.at[0].set((zz * cc) * q[mu])
+    f = f.at[mu].set((cc / zz) * q[0])
+    return f
+
+
+def _flux_acoustics_soa(ixy, qs, params):
+    zz, cc = _zc(params)
+    mu = 1 + ixy
+    comp = [None] * len(qs)
+    comp[0] = (zz * cc) * qs[mu]
+    comp[mu] = (cc / zz) * qs[0]
+    return tuple(comp)
+
+
 from . import RiemannSolver  # noqa: E402
 
 acoustics_1D = RiemannSolver("acoustics_1D", 1, 2, 2, _rp_acoustics)
+acoustics_1D.flux = _flux_acoustics
 acoustics_1D.evec = _evec_acoustics
 acoustics_2D = RiemannSolver("acoustics_2D", 2, 3, 2, _rp_acoustics,
                              rpt=_rpt_acoustics)
 acoustics_2D.evec = _evec_acoustics
 acoustics_2D.rpn_soa = _rp_acoustics_soa
 acoustics_2D.rpt_soa = _rpt_acoustics_soa
+acoustics_2D.flux = _flux_acoustics
+acoustics_2D.flux_soa = _flux_acoustics_soa
 def _rptt3_acoustics(ixy, icoor, imp, impt, q_l, q_r, aux_l, aux_r,
                      bsasdq, params, trans_axis=None):
     """Double-transverse acoustic split: same eigenstructure, applied
@@ -166,3 +189,4 @@ def _rptt3_acoustics(ixy, icoor, imp, impt, q_l, q_r, aux_l, aux_r,
 acoustics_3D = RiemannSolver("acoustics_3D", 3, 4, 2, _rp_acoustics,
                              rpt=_rpt3_acoustics, rptt=_rptt3_acoustics)
 acoustics_3D.evec = _evec_acoustics
+acoustics_3D.flux = _flux_acoustics

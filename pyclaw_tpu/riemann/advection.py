@@ -98,6 +98,11 @@ def _rp_vc_advection_fwave(ixy, q_l, q_r, aux_l, aux_r, params):
     return wave, s[None], amdq, apdq
 
 
+def _flux_advection(ixy, q, aux, params):
+    """f = u_ixy * q (RiemannSolver.flux protocol)."""
+    return params[("u", "v", "w")[ixy]] * q
+
+
 from . import RiemannSolver  # noqa: E402
 
 advection_1D = RiemannSolver("advection_1D", 1, 1, 1, _rp_advection,
@@ -107,6 +112,8 @@ advection_2D = RiemannSolver("advection_2D", 2, 1, 1, _rp_advection,
 advection_3D = RiemannSolver("advection_3D", 3, 1, 1, _rp_advection,
                              rpt=_rpt_advection, rptt=_rptt_advection,
                              requires=("u", "v", "w"))
+for _s in (advection_1D, advection_2D, advection_3D):
+    _s.flux = _flux_advection
 vc_advection_1D = RiemannSolver("vc_advection_1D", 1, 1, 1, _rp_vc_advection)
 vc_advection_fwave_1D = RiemannSolver("vc_advection_fwave_1D", 1, 1, 1,
                                       _rp_vc_advection_fwave)

@@ -45,6 +45,11 @@ def _rptt_burgers(ixy, icoor, imp, impt, q_l, q_r, aux_l, aux_r, bsasdq,
                         trans_axis=trans_axis)
 
 
+def _flux_burgers(ixy, q, aux, params):
+    """f = q^2/2 (RiemannSolver.flux protocol)."""
+    return 0.5 * q * q
+
+
 from . import RiemannSolver  # noqa: E402
 
 burgers_1D = RiemannSolver("burgers_1D", 1, 1, 1, _rp_burgers)
@@ -52,3 +57,5 @@ burgers_2D = RiemannSolver("burgers_2D", 2, 1, 1, _rp_burgers,
                            rpt=_rpt_burgers)
 burgers_3D = RiemannSolver("burgers_3D", 3, 1, 1, _rp_burgers,
                            rpt=_rpt_burgers, rptt=_rptt_burgers)
+for _s in (burgers_1D, burgers_2D, burgers_3D):
+    _s.flux = _flux_burgers

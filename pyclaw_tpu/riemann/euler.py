@@ -643,6 +643,41 @@ def _evec_euler_nd(ixy, q, aux, params):
     return R, L
 
 
+def _make_euler_flux(ndim, tracer=False):
+    """Physical Euler flux f(q) along sweep direction ixy (reference
+    flux1.f90's tfluct-free total fluctuation uses f(qr)-f(ql); see
+    riemann/__init__.py RiemannSolver.flux)."""
+    e_idx = 1 + ndim
+
+    def flux(ixy, q, aux, params):
+        gamma = params["gamma"]
+        rho = q[0]
+        u = q[1 + ixy] / rho
+        ke = 0.5 * sum(q[1 + d] ** 2 for d in range(ndim)) / rho
+        p = (gamma - 1.0) * (q[e_idx] - ke)
+        f = u[None] * q                # every component advects with u
+        f = f.at[1 + ixy].add(p)
+        f = f.at[e_idx].add(u * p)
+        return f
+    return flux
+
+
+def _flux_euler_2d_soa(ixy, qs, params, tracer=False):
+    gamma = params["gamma"]
+    mu, mv = 1 + ixy, 2 - ixy
+    rho, E = qs[0], qs[3]
+    u = qs[mu] / rho
+    p = (gamma - 1.0) * (E - 0.5 * (qs[1] ** 2 + qs[2] ** 2) / rho)
+    comp = [None] * len(qs)
+    comp[0] = qs[mu]
+    comp[mu] = qs[mu] * u + p
+    comp[mv] = qs[mv] * u
+    comp[3] = u * (E + p)
+    if tracer:
+        comp[4] = u * qs[4]
+    return tuple(comp)
+
+
 def _make_euler_positivity(vel_idx, e_idx):
     def positivity(q, aux, params):
         rho = q[0]
@@ -685,3 +720,12 @@ euler_4wave_2D.evec = _evec_euler_nd
 euler_3D.evec = _evec_euler_nd
 euler_5wave_2D.positivity = _make_euler_positivity((1, 2), 3)
 euler_3D.positivity = _make_euler_positivity((1, 2, 3), 4)
+
+for _s in (euler_with_efix_1D, euler_roe_1D, euler_hlle_1D):
+    _s.flux = _make_euler_flux(1)
+euler_4wave_2D.flux = _make_euler_flux(2)
+euler_4wave_2D.flux_soa = _flux_euler_2d_soa
+euler_5wave_2D.flux = _make_euler_flux(2, tracer=True)
+euler_5wave_2D.flux_soa = lambda ixy, qs, params: _flux_euler_2d_soa(
+    ixy, qs, params, tracer=True)
+euler_3D.flux = _make_euler_flux(3)

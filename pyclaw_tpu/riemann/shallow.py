@@ -251,6 +251,20 @@ def _evec_shallow(ixy, q, aux, params):
     return R, L
 
 
+def _flux_shallow(ixy, q, aux, params):
+    """Shallow-water flux along ixy: [hu, hu^2 + g h^2/2, huv]
+    (RiemannSolver.flux protocol; flat-bottom solvers only — the
+    bathymetry f-wave solvers fold the topography source into their
+    fluctuations and keep the Riemann-based total fluctuation)."""
+    g = params["grav"]
+    h = q[0]
+    mu = 1 + ixy
+    u = q[mu] / h
+    f = u[None] * q                    # [hu, hu*u, hv*u]
+    f = f.at[mu].add(0.5 * g * h * h)
+    return f
+
+
 from . import RiemannSolver  # noqa: E402
 
 shallow_roe_with_efix_1D = RiemannSolver("shallow_roe_with_efix_1D", 1, 2, 2,
@@ -265,6 +279,9 @@ shallow_roe_with_efix_2D = RiemannSolver("shallow_roe_with_efix_2D", 2, 3, 3,
                                          rpt=_rpt2_shallow_roe,
                                          requires=("grav",))
 shallow_roe_with_efix_2D.evec = _evec_shallow
+for _s in (shallow_roe_with_efix_1D, shallow_hlle_1D,
+           shallow_roe_with_efix_2D):
+    _s.flux = _flux_shallow
 
 
 def _rp1_shallow_bathymetry_fwave(ixy, q_l, q_r, aux_l, aux_r, params):

@@ -33,6 +33,13 @@ def _rp_traffic(ixy, q_l, q_r, aux_l, aux_r, params):
     return wave, s[None], amdq, apdq
 
 
+def _flux_traffic(ixy, q, aux, params):
+    """f = umax q (1-q) (RiemannSolver.flux protocol)."""
+    umax = params.get("efix_umax", params.get("umax", 1.0))
+    return umax * q * (1.0 - q)
+
+
 from . import RiemannSolver  # noqa: E402
 
 traffic_1D = RiemannSolver("traffic_1D", 1, 1, 1, _rp_traffic)
+traffic_1D.flux = _flux_traffic

@@ -12,11 +12,13 @@ Method of lines: reconstruct cell-edge values (WENO5 or TVD), solve Riemann
 problems at interfaces, add the in-cell total fluctuation, assemble
 dq = -dt/(kappa dx) * (apdq_{i-1/2} + amdq_{i+1/2} + adq_i).
 
-The total fluctuation adq_i = f(qr_i) - f(ql_i) is computed by calling the
-Riemann solver on (ql_i, qr_i) within each cell and summing amdq+apdq
-(exactly the reference's tfluct-free path in flux1.f90), so no per-system
-flux function is needed; a user ``tfluct`` solver can replace it for
-well-balanced schemes.
+The total fluctuation adq_i = f(qr_i) - f(ql_i) uses the registered
+per-system flux function when the Riemann record carries one (reference
+flux1.f90's tfluct-free default: two cheap flux evaluations); solvers
+without a ``flux`` fall back to a second Riemann solve on (ql_i, qr_i)
+summing amdq+apdq (identical to roundoff for any conservative solver —
+pinned by tests/test_sharpclaw_flux.py).  A user ``tfluct`` solver
+replaces either for well-balanced schemes.
 """
 
 from __future__ import annotations
@@ -179,6 +181,48 @@ def _recon_char(qbc, auxbc, params, evec, ixy, weno_order):
     return ql, qr
 
 
+def _recon_char_ifc(qbc, auxbc, params, evec, ixy, weno_order):
+    """Interface-eigensystem characteristic WENO (char_decomp=4).
+
+    The classical finite-volume WENO-char variant: for every interface,
+    evaluate the eigensystem at the arithmetic mean of the two adjacent
+    cells and reconstruct BOTH biased edge states in that one basis (so
+    the left and right states entering each Riemann problem are limited
+    in the same characteristic frame, unlike char_decomp=2 which uses
+    each cell's own basis).  The reference enumerates char_decomp=4
+    (SURVEY.md §2.3) but its exact form was unverifiable against the
+    empty mount; this is the standard interface-basis formulation, and
+    it reduces exactly to char_decomp=2 for constant-coefficient systems
+    (pinned by tests/test_char_decomp.py)."""
+    q_avg = 0.5 * (qbc[..., :-1] + qbc[..., 1:])
+    aux_avg = (None if auxbc is None
+               else 0.5 * (auxbc[..., :-1] + auxbc[..., 1:]))
+    R, L = evec(ixy, q_avg, aux_avg, params)       # (ne, ne, ..., n-1)
+    k = (weno_order + 1) // 2
+
+    def cells(m):
+        # interface-indexed view of cell i+m for interface i (cells i,i+1)
+        return recon._shift(qbc, m)[..., :-1]
+
+    def proj(m):
+        return jnp.einsum("ab...,b...->a...", L, cells(m))
+
+    # left state at interface i = right edge of cell i
+    ws_r = [proj(m) for m in range(-k + 1, k)]
+    _, wr = recon.weno_stencil(weno_order, ws_r)
+    # right state at interface i = left edge of cell i+1
+    ws_l = [proj(m + 1) for m in range(-k + 1, k)]
+    wl, _ = recon.weno_stencil(weno_order, ws_l)
+
+    edge_l = jnp.einsum("ab...,b...->a...", R, wr)  # cell i's right edge
+    edge_r = jnp.einsum("ab...,b...->a...", R, wl)  # cell i+1's left edge
+    # back to the per-cell (ql, qr) contract; the unknowable outermost
+    # edges sit inside the trimmed ghost band
+    qr = jnp.concatenate([edge_l, qbc[..., -1:]], axis=-1)
+    ql = jnp.concatenate([qbc[..., :1], edge_r], axis=-1)
+    return ql, qr
+
+
 def _recon_char_trans(qbc, auxbc, params, evec, ixy, weno_order):
     """Transmission-based characteristic WENO reconstruction (reference
     weno.f90 weno5_trans / reconstruct.f90 char_decomp=3 path, any
@@ -225,7 +269,7 @@ def _recon_char_trans(qbc, auxbc, params, evec, ixy, weno_order):
 
 def dq_1d(qbc, auxbc, dt, dx, rp, params, lim_type, weno_order, index_capa,
           num_ghost, ixy=0, tfluct=None, char_decomp=0, evec=None,
-          positivity=None, backend="xla", tvd_limiter=4):
+          positivity=None, backend="xla", tvd_limiter=4, flux=None):
     """Semidiscrete update along the LAST axis (flux1.f90 equivalent).
 
     qbc: (num_eqn, ..., n) ghost-padded.  Returns (dq interior along last
@@ -249,6 +293,13 @@ def dq_1d(qbc, auxbc, dt, dx, rp, params, lim_type, weno_order, index_capa,
         # the TVD characteristic path already slope-limits LOCAL-basis
         # jumps L_i(q_i - q_{i +/- 1}) — it is transmission-based by
         # construction, so modes 2 and 3 coincide for lim_type=1
+        ql, qr = _recon_char_tvd(qbc, auxbc, params, evec, ixy,
+                                 tvd_limiter=tvd_limiter)
+    elif char_decomp == 4 and evec is not None and lim_type == 2:
+        ql, qr = _recon_char_ifc(qbc, auxbc, params, evec, ixy, weno_order)
+    elif char_decomp == 4 and evec is not None and lim_type == 1:
+        # interface-basis TVD == local-basis TVD for the slope-limited
+        # 3-cell stencil family; reuse the characteristic TVD path
         ql, qr = _recon_char_tvd(qbc, auxbc, params, evec, ixy,
                                  tvd_limiter=tvd_limiter)
     else:
@@ -276,6 +327,8 @@ def dq_1d(qbc, auxbc, dt, dx, rp, params, lim_type, weno_order, index_capa,
     # in-cell total fluctuation
     if tfluct is not None:
         adq = tfluct(ixy, ql, qr, auxbc, auxbc, params)
+    elif flux is not None:
+        adq = flux(ixy, qr, auxbc, params) - flux(ixy, ql, auxbc, params)
     else:
         _, _, amdq2, apdq2 = rp(ixy, ql, qr, auxbc, auxbc, params)
         adq = amdq2 + apdq2
@@ -298,7 +351,7 @@ def dq_1d(qbc, auxbc, dt, dx, rp, params, lim_type, weno_order, index_capa,
 
 def dq_nd(qbc, auxbc, dt, deltas, rp, params, lim_type, weno_order,
           index_capa, num_ghost, tfluct=None, char_decomp=0, evec=None,
-          positivity=None, backend="xla", tvd_limiter=4):
+          positivity=None, backend="xla", tvd_limiter=4, flux=None):
     """Multi-dimensional MOL update: per-axis 1D sweeps accumulated
     (flux2.f90/flux3.f90 equivalent — no transverse solves needed).
 
@@ -315,7 +368,7 @@ def dq_nd(qbc, auxbc, dt, deltas, rp, params, lim_type, weno_order,
                           weno_order, index_capa, g, ixy=d, tfluct=tfluct,
                           char_decomp=char_decomp, evec=evec,
                           positivity=positivity, backend=backend,
-                          tvd_limiter=tvd_limiter)
+                          tvd_limiter=tvd_limiter, flux=flux)
         dqd = jnp.moveaxis(dqd, -1, axis)
         # strip ghosts on the other axes
         sl = [slice(None)] * dqd.ndim
@@ -331,7 +384,7 @@ def dq_nd(qbc, auxbc, dt, deltas, rp, params, lim_type, weno_order,
 def dq_nd_tiled(qbc, auxbc, dt, deltas, rp, params, lim_type, weno_order,
                 index_capa, num_ghost, tfluct=None, char_decomp=0,
                 evec=None, positivity=None, backend="xla", tvd_limiter=4,
-                tile_rows=128):
+                tile_rows=128, flux=None):
     """Row-tiled driver around :func:`dq_nd` (same VMEM-blocking trick as
     classic/kernels.step2_tiled): any kernel that maps a ghost-padded
     block to its interior with stencil radius <= num_ghost tiles this
@@ -351,7 +404,7 @@ def dq_nd_tiled(qbc, auxbc, dt, deltas, rp, params, lim_type, weno_order,
                      weno_order, index_capa, g, tfluct=tfluct,
                      char_decomp=char_decomp, evec=evec,
                      positivity=positivity, backend=backend,
-                     tvd_limiter=tvd_limiter)
+                     tvd_limiter=tvd_limiter, flux=flux)
     nt = rows // tile_rows
     rest = qbc.shape[2:]
 
@@ -365,7 +418,7 @@ def dq_nd_tiled(qbc, auxbc, dt, deltas, rp, params, lim_type, weno_order,
                      weno_order, index_capa, g, tfluct=tfluct,
                      char_decomp=char_decomp, evec=evec,
                      positivity=positivity, backend=backend,
-                     tvd_limiter=tvd_limiter)
+                     tvd_limiter=tvd_limiter, flux=flux)
 
     outs, cfls = lax.map(body, jnp.arange(nt) * tile_rows)
     out_rest = tuple(n - 2 * g for n in rest)

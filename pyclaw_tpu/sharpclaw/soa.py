@@ -71,7 +71,7 @@ def _combine(waves, speeds, num_eqn, zero):
 
 
 def _dq_dir_soa(qs, axis, dt, dxi, rpn_soa, params, weno_order, num_ghost,
-                positivity):
+                positivity, flux_soa=None):
     """One directional semidiscrete sweep on per-equation 2D planes.
     Returns (dq per-eqn list over cells 1..n-2 along `axis`, full extent
     on the other axis, cfl)."""
@@ -98,18 +98,27 @@ def _dq_dir_soa(qs, axis, dt, dxi, rpn_soa, params, weno_order, num_ghost,
     zero_i = jnp.zeros_like(q_li[0])
     amdq, apdq = _combine(waves, speeds, num_eqn, zero_i)
 
-    # in-cell total fluctuation adq = sum_p s_p W_p (amdq2 + apdq2)
-    waves2, speeds2 = rpn_soa(axis, tuple(ql), tuple(qr), params)
+    # in-cell total fluctuation adq = f(qr) - f(ql) via the per-system
+    # flux when registered (two cheap flux evals — reference flux1.f90
+    # default); otherwise a second Riemann solve sum_p s_p W_p
     zero_c = jnp.zeros_like(qs[0])
-    adq = []
-    for e in range(num_eqn):
-        a = None
-        for w, sp in zip(waves2, speeds2):
-            if w[e] is None:
-                continue
-            t = sp * w[e]
-            a = t if a is None else a + t
-        adq.append(a if a is not None else zero_c)
+    if flux_soa is not None:
+        fl = flux_soa(axis, tuple(ql), params)
+        fr = flux_soa(axis, tuple(qr), params)
+        adq = [(fr[e] if fr[e] is not None else zero_c)
+               - (fl[e] if fl[e] is not None else zero_c)
+               for e in range(num_eqn)]
+    else:
+        waves2, speeds2 = rpn_soa(axis, tuple(ql), tuple(qr), params)
+        adq = []
+        for e in range(num_eqn):
+            a = None
+            for w, sp in zip(waves2, speeds2):
+                if w[e] is None:
+                    continue
+                t = sp * w[e]
+                a = t if a is None else a + t
+            adq.append(a if a is not None else zero_c)
 
     dtdx = dt / dxi
     cfl = dtdx * reduce(jnp.maximum,
@@ -127,7 +136,7 @@ def _dq_dir_soa(qs, axis, dt, dxi, rpn_soa, params, weno_order, num_ghost,
 
 
 def dq_2d_soa(qbc, dt, dx, dy, rpn_soa, params, weno_order, num_ghost,
-              positivity=None):
+              positivity=None, flux_soa=None):
     """2D MOL semidiscrete update, SoA dataflow.  Same contract as
     kernels.dq_nd restricted to {aux=None, no capacity, lim_type=2,
     char_decomp=0, no tfluct}: qbc (num_eqn, nx, ny) ghost-padded ->
@@ -137,9 +146,9 @@ def dq_2d_soa(qbc, dt, dx, dy, rpn_soa, params, weno_order, num_ghost,
     qs = tuple(qbc[e] for e in range(num_eqn))
 
     dqx, cflx = _dq_dir_soa(qs, 0, dt, dx, rpn_soa, params, weno_order,
-                            g, positivity)
+                            g, positivity, flux_soa=flux_soa)
     dqy, cfly = _dq_dir_soa(qs, 1, dt, dy, rpn_soa, params, weno_order,
-                            g, positivity)
+                            g, positivity, flux_soa=flux_soa)
 
     out = []
     for e in range(num_eqn):
@@ -152,7 +161,8 @@ def dq_2d_soa(qbc, dt, dx, dy, rpn_soa, params, weno_order, num_ghost,
 
 
 def dq_2d_soa_tiled(qbc, dt, dx, dy, rpn_soa, params, weno_order,
-                    num_ghost, positivity=None, tile_rows=128):
+                    num_ghost, positivity=None, tile_rows=128,
+                    flux_soa=None):
     """Row-tiled driver around :func:`dq_2d_soa` (same trick as
     classic/soa.py step2_soa_tiled): blocks of ``tile_rows`` interior
     rows + num_ghost apron, sequenced by ``lax.map`` so every per-tile
@@ -168,14 +178,14 @@ def dq_2d_soa_tiled(qbc, dt, dx, dy, rpn_soa, params, weno_order,
     tile_rows = auto_tile(rows, tile_rows)
     if tile_rows is None:
         return dq_2d_soa(qbc, dt, dx, dy, rpn_soa, params, weno_order,
-                         g, positivity)
+                         g, positivity, flux_soa=flux_soa)
     nt = rows // tile_rows
 
     def body(s):
         blk = lax.dynamic_slice(qbc, (0, s, 0),
                                 (num_eqn, tile_rows + 2 * g, ny))
         return dq_2d_soa(blk, dt, dx, dy, rpn_soa, params, weno_order,
-                         g, positivity)
+                         g, positivity, flux_soa=flux_soa)
 
     outs, cfls = lax.map(body, jnp.arange(nt) * tile_rows)
     dq = jnp.moveaxis(outs, 0, 1).reshape(num_eqn, rows, ny - 2 * g)

@@ -16,7 +16,16 @@ cfl_max/cfl_desired per-integrator defaults (SSP104: 2.5/2.45).
 char_decomp: 0 componentwise, 1 wave-slope (Riemann waves; TVD and
 wave-space WENO forms), 2 characteristic (evec hook; TVD and WENO forms),
 3 transmission-based (evec hook; local-basis jump projection — for
-heterogeneous media; coincides with 2 for constant coefficients).
+heterogeneous media; coincides with 2 for constant coefficients),
+4 interface-basis characteristic (evec at interface arithmetic means;
+coincides with 2 for constant coefficients).
+
+time_integrator='LMM' is the reference's user-coefficient explicit linear
+multistep: supply ``solver.lmm_alpha`` (length k, sums to 1) and
+``solver.lmm_beta`` (length k), oldest-first, for
+u^{n+1} = sum_j alpha_j u^{n-k+1+j} + dt sum_j beta_j f^{n-k+1+j}.
+Requires dt_variable=False (constant-step coefficients); starts up with
+SSP104 while the history fills.
 """
 
 from __future__ import annotations
@@ -65,6 +74,9 @@ class SharpClawSolver(Solver):
         # SSPLMM integrators (reference 'SSPLMMk2'/'SSPLMMk3'):
         self.lmm_steps = 4
         self._lmm_history = None
+        # generic 'LMM': user coefficients, oldest-first (see class doc)
+        self.lmm_alpha = None
+        self.lmm_beta = None
 
     @property
     def _weno_ghost(self):
@@ -84,7 +96,33 @@ class SharpClawSolver(Solver):
             self.cfl_desired, self.cfl_max = _CFL_DEFAULTS[self.time_integrator]
         if self.dt_initial is not None:
             self.dt = self.dt_initial
-        if self.time_integrator in ("SSPLMMk2", "SSPLMMk3"):
+        if self.time_integrator == "LMM":
+            import numpy as _np
+            if self.lmm_alpha is None or self.lmm_beta is None:
+                raise ValueError(
+                    "time_integrator='LMM' needs solver.lmm_alpha and "
+                    "solver.lmm_beta (explicit multistep coefficients, "
+                    "oldest-first); or pick one of Euler, SSP33, SSP104, "
+                    "RK, SSPLMMk2, SSPLMMk3")
+            if self.dt_variable:
+                raise ValueError(
+                    "time_integrator='LMM' uses constant-step "
+                    "coefficients; set solver.dt_variable = False "
+                    "(SSPLMMk2/SSPLMMk3 support variable steps)")
+            a = _np.asarray(self.lmm_alpha, dtype=float)
+            b = _np.asarray(self.lmm_beta, dtype=float)
+            if a.shape != b.shape or a.ndim != 1 or len(a) < 1:
+                raise ValueError("lmm_alpha and lmm_beta must be 1-D "
+                                 "arrays of equal length")
+            if abs(a.sum() - 1.0) > 1e-12:
+                raise ValueError(f"lmm_alpha must sum to 1 (consistency); "
+                                 f"got {a.sum()}")
+            self.lmm_steps = len(a)
+            self._dq_fn = self._finalize_step(self._make_dq(state), state)
+            self._starter_fn = self._finalize_step(
+                self._make_step(state, integrator="SSP104"), state)
+            self._lmm_history = []
+        elif self.time_integrator in ("SSPLMMk2", "SSPLMMk3"):
             if self.dt_variable and not self._cfl_set_by_user:
                 # SSP coefficient of the optimal constant-step method;
                 # linear stability with WENO5 spatial operators binds well
@@ -136,9 +174,18 @@ class SharpClawSolver(Solver):
         evec = self.rp.evec
         positivity = self.rp.positivity
         backend = self.backend
-        if char_decomp in (2, 3) and evec is None:
+        # per-system flux for the in-cell total fluctuation f(qr)-f(ql)
+        # (reference flux1.f90 default); fwave-form solvers register no
+        # flux and keep the Riemann-based fallback
+        flux = None if self.tfluct_solver else self.rp.flux
+        flux_soa = None if self.tfluct_solver else self.rp.flux_soa
+        if char_decomp in (2, 3, 4) and evec is None:
             raise ValueError(f"char_decomp={char_decomp} needs an evec hook "
                              f"on Riemann solver {self.rp.name}")
+        if char_decomp not in (0, 1, 2, 3, 4):
+            raise ValueError(f"char_decomp={char_decomp} not supported "
+                             "(0 componentwise, 1 wave, 2 characteristic, "
+                             "3 transmission, 4 interface-basis)")
 
         if self._soa_eligible(state):
             # SoA fast path (sharpclaw/soa.py): same numerics, no
@@ -152,7 +199,8 @@ class SharpClawSolver(Solver):
                 return sc_soa.dq_2d_soa_tiled(qbc, dt, dx2, dy2, rpn_soa,
                                               params, weno_order, g,
                                               positivity=positivity,
-                                              tile_rows=tile_rows)
+                                              tile_rows=tile_rows,
+                                              flux_soa=flux_soa)
             base = self._wrap_bc_kernel(kern_soa, state)
             if dq_src is None:
                 return base
@@ -170,7 +218,7 @@ class SharpClawSolver(Solver):
                                      char_decomp=char_decomp, evec=evec,
                                      positivity=positivity,
                                      backend=backend,
-                                     tvd_limiter=tvd_limiter)
+                                     tvd_limiter=tvd_limiter, flux=flux)
             return kernels.dq_nd_tiled(qbc, auxbc, dt, deltas, rp, params,
                                        lim_type, weno_order, index_capa,
                                        g, tfluct=tfluct,
@@ -179,7 +227,8 @@ class SharpClawSolver(Solver):
                                        backend=backend,
                                        tvd_limiter=tvd_limiter,
                                        tile_rows=getattr(
-                                           self, "soa_tile_rows", 128))
+                                           self, "soa_tile_rows", 128),
+                                       flux=flux)
         base = self._wrap_bc_kernel(kern, state)
         if dq_src is None:
             return base
@@ -264,9 +313,11 @@ class SharpClawSolver(Solver):
                 return qn, cfl
 
         elif integrator in ("SSPLMMk2", "SSPLMMk3", "LMM"):
-            # handled stepwise in self.step() (needs solution history);
-            # _make_step only provides the dq evaluator + an RK starter.
-            raise AssertionError("LMM integrators do not build a one-step fn")
+            # multistep methods are host-sequenced in self.step() (they
+            # need solution history); setup() never routes them here
+            raise ValueError(
+                f"internal error: {integrator!r} is stepped through the "
+                "multistep path, not a one-step function")
         else:
             raise NotImplementedError(
                 f"time_integrator {integrator!r} not ported yet "
@@ -334,9 +385,32 @@ class SharpClawSolver(Solver):
         self._q_dev = q_new
         return float(cfl)
 
+    def _generic_lmm_step(self, state):
+        """One user-coefficient explicit LMM step (host-sequenced)."""
+        k = self.lmm_steps
+        hist = self._lmm_history
+        self._lmm_hist_backup = list(hist)
+        q = self._q_dev
+        d, cfl = self._dq_fn(q, self._aux_dev, self.dt, state.t)
+        hist.append((q, d / self.dt, self.dt))
+        del hist[:-k]
+        if len(hist) < k:
+            q_new, cfl = self._starter_fn(q, self._aux_dev, self.dt,
+                                          state.t)
+            self._q_dev = q_new
+            return float(cfl)
+        q_new = None
+        for (qi, fi, _), ai, bi in zip(hist, self.lmm_alpha,
+                                       self.lmm_beta):
+            term = float(ai) * qi + (float(bi) * self.dt) * fi
+            q_new = term if q_new is None else q_new + term
+        self._q_dev = q_new
+        return float(cfl)
+
     def accept_reject_step(self, cfl):
         ok = super().accept_reject_step(cfl)
-        if (not ok and self.time_integrator in ("SSPLMMk2", "SSPLMMk3")
+        if (not ok
+                and self.time_integrator in ("SSPLMMk2", "SSPLMMk3", "LMM")
                 and getattr(self, "_lmm_hist_backup", None) is not None):
             self._lmm_history = self._lmm_hist_backup
         return ok
@@ -347,12 +421,16 @@ class SharpClawSolver(Solver):
             cfl = self._lmm_step(state)
             self.cfl.update_global_max(cfl)
             return
+        if self.time_integrator == "LMM":
+            cfl = self._generic_lmm_step(state)
+            self.cfl.update_global_max(cfl)
+            return
         q, cfl = self._step_fn(self._q_dev, self._aux_dev, self.dt, state.t)
         self._q_dev = q
         self.cfl.update_global_max(float(cfl))
 
     def _can_use_traced_evolve(self, state):
-        if self.time_integrator in ("SSPLMMk2", "SSPLMMk3"):
+        if self.time_integrator in ("SSPLMMk2", "SSPLMMk3", "LMM"):
             return False  # multistep history is host-sequenced
         return super()._can_use_traced_evolve(state)
 

@@ -288,3 +288,90 @@ def test_trans_decomp_heterogeneous():
     assert np.all(np.isfinite(q3))
     rel = np.abs(q3 - q0).max() / np.abs(q0).max()
     assert rel < 0.1, rel
+
+
+def test_interface_basis_matches_char_constant_coeff():
+    """char_decomp=4 evaluates the eigensystem at interface arithmetic
+    means; for a constant-coefficient system that basis equals every
+    cell's own basis, so modes 2 and 4 must agree to rounding."""
+    q4 = _acoustics_pulse(4)
+    q2 = _acoustics_pulse(2)
+    np.testing.assert_allclose(q4, q2, atol=1e-8)
+
+
+def test_interface_basis_shallow():
+    """Nonlinear system: interface-basis reconstruction is a distinct
+    characteristic variant — finite, positive depth, and close to the
+    cell-basis characteristic solve."""
+    q4 = _shallow_dam_break(4)
+    q2 = _shallow_dam_break(2)
+    assert np.all(np.isfinite(q4))
+    assert q4[0].min() > 0.0
+    rel = np.abs(q4 - q2).max() / np.abs(q2).max()
+    assert 0.0 < rel < 0.05, rel   # distinct (>0) but same answer class
+
+
+def test_char_decomp_lim1_alias_pinned():
+    """lim_type=1 aliases: char_decomp 3 and 4 take the characteristic
+    TVD path (local-basis slope limiting is transmission/interface-based
+    by construction for the 3-cell stencil) — pinned as exact equality
+    with char_decomp=2 (ADVICE r2 item 3)."""
+    outs = {}
+    for cd in (2, 3, 4):
+        solver = pyclaw.SharpClawSolver1D(riemann.acoustics_1D)
+        solver.time_integrator = "SSP33"
+        solver.lim_type = 1
+        solver.char_decomp = cd
+        solver.all_bcs = pyclaw.BC.extrap
+        domain = pyclaw.Domain([-1.0], [1.0], [100])
+        state = pyclaw.State(domain, 2)
+        state.problem_data["zz"] = 1.0
+        state.problem_data["cc"] = 1.0
+        x = domain.grid.x.centers
+        state.q[0] = np.exp(-60.0 * x ** 2)
+        state.q[1] = 0.0
+        claw = pyclaw.Controller()
+        claw.solution = pyclaw.Solution(state, domain)
+        claw.solver = solver
+        claw.tfinal = 0.4
+        claw.num_output_times = 1
+        claw.output_format = None
+        claw.run()
+        outs[cd] = np.asarray(claw.solution.q)
+    np.testing.assert_array_equal(outs[3], outs[2])
+    np.testing.assert_array_equal(outs[4], outs[2])
+
+
+def test_trans_decomp_smooth_medium_convergence():
+    """ADVICE r2 item 4: a bounded 10%-match test cannot catch a
+    transmission-projection sign/indexing error, so pin the
+    RECONSTRUCTION itself: on a smooth field in a smoothly varying
+    medium, _recon_char_trans edge values must converge to the exact
+    edge point values at ~5th order.  (The full variable-medium MOL
+    solve without a tfluct solver has a 2nd-order in-cell coefficient
+    floor — matching the reference's tfluct-free behavior — so an
+    end-to-end run cannot see the reconstruction order.)"""
+    import jax.numpy as jnp
+    from pyclaw_tpu.sharpclaw.kernels import _recon_char_trans
+    from pyclaw_tpu.riemann.acoustics_var import _evec_acoustics_var
+
+    def edge_err(nx):
+        g = 3
+        dx = 1.0 / nx
+        # cell centers incl. ghosts (periodic domain, smooth data)
+        x = (np.arange(-g, nx + g) + 0.5) * dx
+        # exact cell AVERAGES of sin via antiderivative differences
+        xa, xb = x - 0.5 * dx, x + 0.5 * dx
+        q0 = (np.cos(2 * np.pi * xa) - np.cos(2 * np.pi * xb)) / (2 * np.pi * dx)
+        q = jnp.asarray(np.stack([q0, 0.3 * q0]))
+        aux = jnp.asarray(np.stack([1.0 + 0.3 * np.sin(2 * np.pi * x),
+                                    1.0 + 0.3 * np.cos(2 * np.pi * x)]))
+        ql, qr = _recon_char_trans(q, aux, {}, _evec_acoustics_var, 0, 5)
+        # exact point values at the cell edges
+        exact_r = np.sin(2 * np.pi * xb)
+        err = np.abs(np.asarray(qr)[0, g:-g] - exact_r[g:-g]).max()
+        return err
+
+    e1, e2 = edge_err(64), edge_err(128)
+    rate = np.log2(e1 / e2)
+    assert rate > 4.3, (e1, e2, rate)

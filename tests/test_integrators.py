@@ -105,3 +105,43 @@ def test_ssplmm_variable_dt(integrator):
     err = np.abs(q - exact).max()
     assert err < 0.02, err
     assert solver.status["dtmin"] < solver.status["dtmax"]  # dt adapted
+
+
+def test_generic_lmm_ab3():
+    """time_integrator='LMM' with Adams-Bashforth-3 coefficients
+    (oldest-first): 3rd-order temporal convergence vs a tiny-dt SSP104
+    reference on the same grid."""
+    ab3 = dict(lmm_alpha=[0.0, 0.0, 1.0],
+               lmm_beta=[5.0 / 12.0, -16.0 / 12.0, 23.0 / 12.0])
+    _, claw_ref = _run("SSP104", nx=128, dt=1.0 / 4800)
+    q_ref = claw_ref.solution.q[0].copy()
+    errs = []
+    for dt in (1.0 / 600, 1.0 / 1200):
+        _, claw = _run("LMM", nx=128, dt=dt, **ab3)
+        errs.append(np.max(np.abs(claw.solution.q[0] - q_ref)))
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > 2.55, (errs, rate)
+
+
+def test_lmm_missing_coeffs_raises():
+    with pytest.raises(ValueError, match="lmm_alpha"):
+        _run("LMM", dt=0.01)
+
+
+def test_lmm_requires_fixed_dt():
+    solver = pyclaw.SharpClawSolver1D(riemann.advection_1D)
+    solver.time_integrator = "LMM"
+    solver.lmm_alpha = [0.0, 1.0]
+    solver.lmm_beta = [-0.5, 1.5]
+    solver.dt_variable = True
+    domain = pyclaw.Domain([0.0], [1.0], [16])
+    state = pyclaw.State(domain, 1)
+    state.problem_data["u"] = 1.0
+    state.q[0] = 0.0
+    with pytest.raises(ValueError, match="dt_variable"):
+        solver.setup(pyclaw.Solution(state, domain))
+
+
+def test_lmm_inconsistent_alpha_raises():
+    with pytest.raises(ValueError, match="sum to 1"):
+        _run("LMM", dt=0.01, lmm_alpha=[0.5, 0.0], lmm_beta=[0.0, 1.0])

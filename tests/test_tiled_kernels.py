@@ -84,7 +84,9 @@ def test_step3_tiled_matches_monolithic():
 
 
 def _sharpclaw_generic(tile):
-    """Generic dq_nd path (char_decomp forces off the SoA fast path)."""
+    """Full SharpClaw step through the generic dq_nd path (char_decomp
+    forces off the SoA fast path); the step wraps the tiled/monolithic
+    dq_nd under test."""
     solver = pyclaw.SharpClawSolver2D(riemann.euler_4wave_2D)
     solver.all_bcs = pyclaw.BC.extrap
     solver.char_decomp = 2
@@ -100,14 +102,12 @@ def _sharpclaw_generic(tile):
     state.q[3] = np.where(r < 0.5, 5.0, 2.5)
     sol = pyclaw.Solution(state, domain)
     solver.setup(sol)
-    dq, cfl = solver._dq_fn(jnp.asarray(state.q), None, 1e-3, 0.0) \
-        if hasattr(solver, "_dq_fn") else solver._step_fn(
-            jnp.asarray(state.q), None, 1e-3, 0.0)
-    return np.asarray(dq), float(cfl)
+    q, cfl = solver._step_fn(jnp.asarray(state.q), None, 1e-3, 0.0)
+    return np.asarray(q), float(cfl)
 
 
 def test_dq_nd_tiled_matches_monolithic():
-    d_t, c_t = _sharpclaw_generic(8)
-    d_u, c_u = _sharpclaw_generic(0)
-    np.testing.assert_allclose(d_t, d_u, atol=1e-14)
+    q_t, c_t = _sharpclaw_generic(8)
+    q_u, c_u = _sharpclaw_generic(0)
+    np.testing.assert_allclose(q_t, q_u, atol=1e-14)
     assert abs(c_t - c_u) < 1e-14
