@@ -75,7 +75,7 @@ from .euler import (euler_with_efix_1D, euler_roe_1D, euler_hlle_1D,  # noqa: E4
 from .shallow import (shallow_roe_with_efix_1D, shallow_hlle_1D,  # noqa: E402,F401
                       shallow_roe_with_efix_2D,
                       shallow_bathymetry_fwave_1D,
-                      shallow_bathymetry_fwave_2D, sw_aug_2D)
+                      shallow_bathymetry_fwave_2D, sw_aug_1D, sw_aug_2D)
 from .traffic import traffic_1D  # noqa: E402,F401
 from .kpp import kpp_2D  # noqa: E402,F401
 from .acoustics_var import (acoustics_variable_1D,  # noqa: E402,F401
@@ -96,5 +96,6 @@ ALL = {s.name: s for s in [
     traffic_1D, kpp_2D, acoustics_variable_1D, vc_acoustics_2D,
     vc_acoustics_3D, psystem_1D,
     shallow_bathymetry_fwave_1D, shallow_bathymetry_fwave_2D,
+    sw_aug_1D, sw_aug_2D,
     psystem_2D, shallow_sphere_fwave_2D, mhd_1D,
 ]}

@@ -409,4 +409,193 @@ shallow_bathymetry_fwave_2D = RiemannSolver(
     _rpn2_shallow_bathymetry_fwave, rpt=_rpt2_shallow_roe,
     requires=("grav",))
 shallow_bathymetry_fwave_2D.positivity = _shallow_positivity
-sw_aug_2D = shallow_bathymetry_fwave_2D   # GeoClaw-style alias
+
+
+# ----------------------------------------------------------------------
+# GeoClaw-class augmented solver with wetting/drying (sw_aug)
+# ----------------------------------------------------------------------
+def _sw_aug_core(g, dry, h_l, h_r, hu_l, hu_r, b_l, b_r):
+    """Shared dry-state machinery of the augmented solver (reference
+    riemann/src/rpn2_sw_aug.f90, George 2008; SURVEY.md §2.8 long tail):
+
+      - WALL treatment: a dry cell whose bottom sits above the wet
+        neighbour's surface reflects the wet state (zero-through-flow;
+        also what makes a lake at rest against a dry island exactly
+        steady),
+      - dry-front wave speeds: Einfeldt bounds, replaced by the exact
+        rarefaction front speed u +/- 2c toward a dry side (the Ritter
+        front), which also makes the HLLE-form split depth-positive
+        under CFL,
+      - HLLE-type decomposition of the bathymetry-AUGMENTED jumps: the
+        flux jump carries the g h_bar Delta b source and the dissipative
+        state jump uses the SURFACE eta = h + b instead of the depth, so
+        lake-at-rest has zero waves (exact balance) while an
+        entropy-violating equal-flux jump (Delta f = 0, Delta eta != 0)
+        still receives s1*s2*Delta-eta dissipation and diffuses away —
+        the pure f-wave form is stationary there (it is a steady state
+        of any scheme that only sees flux differences).
+
+    Returns (s1, s2, W1, W2, u_hat, wall_l, wall_r) with W_p the
+    (h, hu_normal) q-wave components; fluctuation split is
+    amdq = s1^- W1 + s2^- W2 (and + mirror), conservative because
+    s1 W1 + s2 W2 = Delta f_aug identically.
+    """
+    wet_l, wet_r = h_l > dry, h_r > dry
+    u_l0 = jnp.where(wet_l, hu_l / jnp.where(wet_l, h_l, 1.0), 0.0)
+    u_r0 = jnp.where(wet_r, hu_r / jnp.where(wet_r, h_r, 1.0), 0.0)
+
+    wall_r = (~wet_r) & wet_l & (h_l + b_l <= b_r)
+    wall_l = (~wet_l) & wet_r & (h_r + b_r <= b_l)
+
+    h_le = jnp.where(wall_l, h_r, jnp.where(wet_l, h_l, 0.0))
+    u_le = jnp.where(wall_l, -u_r0, u_l0)
+    b_le = jnp.where(wall_l, b_r, b_l)
+    h_re = jnp.where(wall_r, h_l, jnp.where(wet_r, h_r, 0.0))
+    u_re = jnp.where(wall_r, -u_l0, u_r0)
+    b_re = jnp.where(wall_r, b_l, b_r)
+    wet_le = wet_l | wall_l
+    wet_re = wet_r | wall_r
+    bothdry = (~wet_le) & (~wet_re)
+
+    c_l = jnp.sqrt(g * h_le)
+    c_r = jnp.sqrt(g * h_re)
+    sh_l, sh_r = jnp.sqrt(h_le), jnp.sqrt(h_re)
+    wsum = jnp.where(sh_l + sh_r > 0.0, sh_l + sh_r, 1.0)
+    u_hat = (sh_l * u_le + sh_r * u_re) / wsum
+    c_hat = jnp.sqrt(g * 0.5 * (h_le + h_re))
+
+    s1 = jnp.minimum(u_le - c_l, u_hat - c_hat)
+    s2 = jnp.maximum(u_re + c_r, u_hat + c_hat)
+    # exact rarefaction front toward a dry side (Ritter)
+    s1 = jnp.where(wet_re & ~wet_le, u_re - 2.0 * c_r, s1)
+    s2 = jnp.where(wet_le & ~wet_re, u_le + 2.0 * c_l, s2)
+    s1 = jnp.where(bothdry, 0.0, s1)
+    s2 = jnp.where(bothdry, 0.0, s2)
+
+    hu_le = h_le * u_le
+    hu_re = h_re * u_re
+    hbar = 0.5 * (h_le + h_re)
+    fd1 = hu_re - hu_le
+    fd2 = (hu_re * u_re + 0.5 * g * h_re * h_re) \
+        - (hu_le * u_le + 0.5 * g * h_le * h_le) \
+        + g * hbar * (b_re - b_le)
+    # dissipative state jump: surface eta and momentum
+    dq1 = (h_re + b_re) - (h_le + b_le)
+    dq2 = fd1
+
+    denom = jnp.where(s2 - s1 == 0.0, 1.0, s2 - s1)
+    zero = jnp.where(bothdry, 0.0, 1.0 / denom)
+    W1 = ((s2 * dq1 - fd1) * zero, (s2 * dq2 - fd2) * zero)
+    W2 = ((fd1 - s1 * dq1) * zero, (fd2 - s1 * dq2) * zero)
+    u_hat = jnp.where(bothdry, 0.0, u_hat)
+    return s1, s2, W1, W2, u_hat, wall_l, wall_r
+
+
+def _rp1_sw_aug(ixy, q_l, q_r, aux_l, aux_r, params):
+    """1D augmented shallow-water solver with wetting/drying (reference
+    GeoClaw rp1-class sw_aug).  aux[0] = b(x); use solver.fwave = True.
+    problem_data['dry_tolerance'] (default 1e-8) marks dry cells."""
+    g = params["grav"]
+    dry = params.get("dry_tolerance", 1e-8)
+    s1, s2, W1, W2, _, wall_l, wall_r = _sw_aug_core(
+        g, dry, q_l[0], q_r[0], q_l[1], q_r[1], aux_l[0], aux_r[0])
+
+    # f-waves Z_p = s_p W_p (kernels' fwave limiter/correction contract);
+    # zeroed at wet/dry interfaces so the 2nd-order correction fluxes
+    # drop to first order at fronts (GeoClaw does the same) — the
+    # limited corrections are not positivity-preserving over dry cells
+    frontal = (q_l[0] <= dry) | (q_r[0] <= dry)
+    z1 = jnp.where(frontal, 0.0, jnp.stack([s1 * W1[0], s1 * W1[1]]))
+    z2 = jnp.where(frontal, 0.0, jnp.stack([s2 * W2[0], s2 * W2[1]]))
+    wave = jnp.stack([z1, z2], axis=1)
+    s = jnp.stack([s1, s2])
+    amdq = jnp.minimum(s1, 0.0) * jnp.stack(W1) \
+        + jnp.minimum(s2, 0.0) * jnp.stack(W2)
+    apdq = jnp.maximum(s1, 0.0) * jnp.stack(W1) \
+        + jnp.maximum(s2, 0.0) * jnp.stack(W2)
+    # no flow into a dry wall cell
+    amdq = jnp.where(wall_l, 0.0, amdq)
+    apdq = jnp.where(wall_r, 0.0, apdq)
+    return wave, s, amdq, apdq
+
+
+def _rpn2_sw_aug(ixy, q_l, q_r, aux_l, aux_r, params):
+    """2D augmented shallow-water solver with wetting/drying (reference
+    riemann/src/rpn2_sw_aug.f90): the 1D augmented machinery in the
+    normal direction plus a passive transverse-momentum shear wave.
+    aux[0] = b(x, y); use solver.fwave = True."""
+    g = params["grav"]
+    dry = params.get("dry_tolerance", 1e-8)
+    mu = 1 + ixy
+    mv = 2 - ixy
+
+    h_l, h_r = q_l[0], q_r[0]
+    wet_l, wet_r = h_l > dry, h_r > dry
+    v_l = jnp.where(wet_l, q_l[mv] / jnp.where(wet_l, h_l, 1.0), 0.0)
+    v_r = jnp.where(wet_r, q_r[mv] / jnp.where(wet_r, h_r, 1.0), 0.0)
+
+    s1, s3, W1, W3, u_hat, wall_l, wall_r = _sw_aug_core(
+        g, dry, h_l, h_r, q_l[mu], q_r[mu], aux_l[0], aux_r[0])
+    s2 = u_hat                       # shear rides the normal flow
+
+    # shear: transverse momentum advects with the normal flow
+    hu_le = jnp.where(wet_l | wall_l,
+                      jnp.where(wall_l, -q_r[mu], q_l[mu]), 0.0)
+    hu_re = jnp.where(wet_r | wall_r,
+                      jnp.where(wall_r, -q_l[mu], q_r[mu]), 0.0)
+    fd3 = hu_re * v_r - hu_le * v_l
+
+    num_eqn = q_l.shape[0]
+
+    def mk(h_c, mu_c, mv_c):
+        comp = [None] * num_eqn
+        comp[0], comp[mu], comp[mv] = h_c, mu_c, mv_c
+        return jnp.stack(comp)
+
+    z = jnp.zeros_like(h_l)
+    zv1 = mk(s1 * W1[0], s1 * W1[1], s1 * W1[0] * v_l)
+    zv3 = mk(s3 * W3[0], s3 * W3[1], s3 * W3[0] * v_r)
+    zv2 = mk(z, z, fd3 - s1 * W1[0] * v_l - s3 * W3[0] * v_r)
+    # first-order at wet/dry fronts (see the 1D solver's note)
+    frontal = (~wet_l) | (~wet_r)
+    wave = jnp.where(frontal, 0.0, jnp.stack([zv1, zv2, zv3], axis=1))
+    s = jnp.stack([s1, s2, s3])
+
+    wv1 = mk(W1[0], W1[1], W1[0] * v_l)
+    wv3 = mk(W3[0], W3[1], W3[0] * v_r)
+    amdq = jnp.minimum(s1, 0.0) * wv1 + jnp.minimum(s3, 0.0) * wv3 \
+        + jnp.where(s2 < 0.0, zv2, 0.0)
+    apdq = jnp.maximum(s1, 0.0) * wv1 + jnp.maximum(s3, 0.0) * wv3 \
+        + jnp.where(s2 >= 0.0, zv2, 0.0)
+    amdq = jnp.where(wall_l, 0.0, amdq)
+    apdq = jnp.where(wall_r, 0.0, apdq)
+    return wave, s, amdq, apdq
+
+
+def _rpt2_sw_aug(ixy, imp, q_l, q_r, aux_l, aux_r, asdq, params):
+    """Transverse split for the augmented solver: the Roe transverse
+    split of the wet-wet case, suppressed wherever either side is dry
+    (GeoClaw guards its transverse solver the same way — transverse
+    corrections are an accuracy term, never a stability requirement)."""
+    g = params["grav"]
+    dry = params.get("dry_tolerance", 1e-8)
+    wet = (q_l[0] > dry) & (q_r[0] > dry)
+    ql_s = jnp.where(wet[None], q_l, jnp.ones_like(q_l))
+    qr_s = jnp.where(wet[None], q_r, jnp.ones_like(q_r))
+    bmasdq, bpasdq = _rpt2_shallow_roe(ixy, imp, ql_s, qr_s, aux_l,
+                                       aux_r, asdq, params)
+    return (jnp.where(wet[None], bmasdq, 0.0),
+            jnp.where(wet[None], bpasdq, 0.0))
+
+
+def _sw_aug_positivity(q, aux, params):
+    dry = params.get("dry_tolerance", 1e-8)
+    return q[0] > dry
+
+
+sw_aug_1D = RiemannSolver("sw_aug_1D", 1, 2, 2, _rp1_sw_aug,
+                          requires=("grav",))
+sw_aug_1D.positivity = _sw_aug_positivity
+sw_aug_2D = RiemannSolver("sw_aug_2D", 2, 3, 3, _rpn2_sw_aug,
+                          rpt=_rpt2_sw_aug, requires=("grav",))
+sw_aug_2D.positivity = _sw_aug_positivity

@@ -54,20 +54,81 @@ def test_overlap_matches_blocking_and_serial():
                                atol=1e-13)
 
 
-def test_overlap_structure_in_hlo():
-    """The interior kernel must not be downstream of the halo collectives:
-    trace the sharded step and verify at the jaxpr level that the big
-    interior computation consumes the RAW local block (shape preserved)
-    rather than the concatenated halo-extended block."""
+def _shard_map_body(jaxpr):
+    """Find the (first) shard_map body jaxpr inside a traced step."""
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name in ("shard_map", "smap"):
+            body = eqn.params.get("jaxpr")
+            return body.jaxpr if hasattr(body, "jaxpr") else body
+        for p in eqn.params.values():
+            inner = getattr(p, "jaxpr", None)
+            if inner is not None:
+                found = _shard_map_body(inner)
+                if found is not None:
+                    return found
+    return None
+
+
+def _ppermute_taint(body):
+    """Forward taint closure from every ppermute output: returns
+    (tainted var set, ppermute count).  Sub-jaxpr eqns propagate taint
+    conservatively (any tainted input taints all outputs)."""
+    tainted = set()
+    n_pp = 0
+    for eqn in body.eqns:
+        is_pp = "ppermute" in eqn.primitive.name
+        n_pp += is_pp
+        if is_pp or any(getattr(v, "count", None) is not None
+                        and v in tainted for v in eqn.invars):
+            tainted.update(v for v in eqn.outvars)
+    return tainted, n_pp
+
+
+def _concat_leaves(body, var, depth=0):
+    """Walk back through the final concatenate tree; return leaf vars."""
+    producer = {v: eqn for eqn in body.eqns for v in eqn.outvars}
+    eqn = producer.get(var)
+    if eqn is None or eqn.primitive.name != "concatenate" or depth > 4:
+        return [var]
+    out = []
+    for v in eqn.invars:
+        out.extend(_concat_leaves(body, v, depth + 1))
+    return out
+
+
+def test_overlap_structure_in_jaxpr():
+    """Dependency-level proof of overlap (replaces the r2
+    concatenate-count heuristic — VERDICT r2 item 7): inside the
+    shard_map body, the INTERIOR piece of the output must not be in the
+    forward taint closure of any ppermute, while the boundary bands must
+    be.  This is exactly the property that lets XLA's scheduler run the
+    interior while face transfers are in flight, and it survives XLA
+    text-format churn because it reads the jaxpr, not HLO strings."""
     s_ov, st = _build(True)
     q = jnp.asarray(st.q)
-    txt = jax.jit(s_ov._step_fn).lower(q, None, 1e-3, 0.0).as_text()
-    assert "collective_permute" in txt or "collective-permute" in txt
-    # banded assembly: the final stitch concatenates 3 pieces per sharded
-    # axis; the blocking form has no such output-sized concatenates.
-    txt_bl = jax.jit(_build(False)[0]._step_fn).lower(
-        q, None, 1e-3, 0.0).as_text()
-    assert txt.count("concatenate") > txt_bl.count("concatenate")
+    jpr = jax.make_jaxpr(
+        lambda qq: s_ov._step_fn(qq, None, 1e-3, 0.0))(q).jaxpr
+    body = _shard_map_body(jpr)
+    assert body is not None, "no shard_map in the distributed step"
+    tainted, n_pp = _ppermute_taint(body)
+    assert n_pp > 0, "no ppermute halo exchange found"
+
+    leaves = _concat_leaves(body, body.outvars[0])
+    assert len(leaves) >= 3, "output is not a banded concatenation"
+    clean = [v for v in leaves if v not in tainted]
+    dirty = [v for v in leaves if v in tainted]
+    assert clean, "every output piece depends on a ppermute: no overlap"
+    assert dirty, "no output piece consumes the halos (suspicious)"
+
+    # contrast: the blocking build's whole output is collective-tainted
+    s_bl, _ = _build(False)
+    jpr_bl = jax.make_jaxpr(
+        lambda qq: s_bl._step_fn(qq, None, 1e-3, 0.0))(q).jaxpr
+    body_bl = _shard_map_body(jpr_bl)
+    tainted_bl, n_pp_bl = _ppermute_taint(body_bl)
+    assert n_pp_bl > 0
+    leaves_bl = _concat_leaves(body_bl, body_bl.outvars[0])
+    assert all(v in tainted_bl for v in leaves_bl)
 
 
 def test_overlap_small_block_fallback():

@@ -82,3 +82,22 @@ def test_sharpclaw_high_order_advection(order):
     err5 = run(5)
     err_hi = run(order)
     assert err_hi < err5, (err5, err_hi)
+
+
+def test_weno5_f32_constant_data_finite():
+    """Regression: the reference epweno=1e-36 underflows in float32
+    ((eps+0)^2 -> 0 -> inf/NaN wherever the data is locally constant —
+    e.g. the quadrants IC).  The f32 path uses scale-invariant rational
+    weights and must be finite and exact on constant states, and match
+    the f64 reference weights to f32 roundoff on smooth data."""
+    import jax.numpy as jnp
+    q = jnp.full((2, 32), 3.25, dtype=jnp.float32)
+    ql, qr = recon.weno5(q)
+    assert np.all(np.isfinite(np.asarray(ql)))
+    np.testing.assert_allclose(np.asarray(qr)[:, 3:-3], 3.25, rtol=2e-7)
+
+    x = np.linspace(0.0, 2 * np.pi, 128)
+    qs = np.sin(x)[None]
+    _, r64 = recon.weno5(jnp.asarray(qs))
+    _, r32 = recon.weno5(jnp.asarray(qs, dtype=jnp.float32))
+    assert np.abs(np.asarray(r64) - np.asarray(r32))[:, 3:-3].max() < 1e-5

@@ -12,6 +12,33 @@ from collections import defaultdict
 
 import numpy as np
 
+_DT_BYTES = {"f32": 4, "f64": 8, "pred": 1, "s32": 4, "u32": 4}
+_OP_PAT = re.compile(r"= ([a-z0-9]+)\[([0-9,]*)\](\{[^}]*\})? ([a-z\-]+)\(")
+
+
+def entry_output_bytes(compiled_text, hbm_only=False):
+    """Total output-buffer bytes of ENTRY-computation ops in optimized
+    HLO — the materialization-traffic proxy used by the CI regression
+    guard (tests/test_hlo_traffic.py).  Fusion bodies stay on-chip; only
+    entry ops allocate buffers.  With hbm_only=True, buffers whose
+    layout carries the alternate memory space S(1) (VMEM) are skipped
+    (TPU compilations only)."""
+    txt = (compiled_text[compiled_text.index("ENTRY "):]
+           if "ENTRY " in compiled_text else compiled_text)
+    total = 0
+    for m in _OP_PAT.finditer(txt):
+        dty, shape, layout, _op = m.groups()
+        if dty not in _DT_BYTES:
+            continue
+        if hbm_only and layout and "S(1)" in layout:
+            continue
+        n = 1
+        for s in shape.split(","):
+            if s:
+                n *= int(s)
+        total += n * _DT_BYTES[dty]
+    return total
+
 
 def main(mx=1024, my=1024, dtype="float32", solver_type="classic"):
     import jax

@@ -1,0 +1,193 @@
+"""Roofline accounting for the hot steps (VERDICT r2 item 1).
+
+Answers "what binds the classic 2D Euler step?" with numbers measured on
+THIS chip rather than datasheet guesses:
+
+  1. Flop/byte counts per cell from XLA cost analysis of the MONOLITHIC
+     (untiled) step — the tiled production step wraps the same math in a
+     lax.map whose body cost analysis counts only once, so the untiled
+     graph is the honest per-cell accounting.
+  2. Empirical VPU peak: a fused non-foldable FMA chain (x <- x*x + c,
+     the Julia map — algebraic simplification cannot collapse it) on an
+     HBM-resident array, iterations >> array passes so flops dominate.
+  3. Empirical HBM stream bandwidth: a fori_loop of x <- x + 1 over a
+     256 MB array (one read + one write of HBM per iteration).
+  4. Achieved = step flops/s and bytes/s (timed production tiled step)
+     vs the two ceilings.
+
+All timings use the differencing methodology from bench.py: on this
+tunneled device block_until_ready returns at enqueue and every readback
+costs ~0.3-0.5 s, so we difference a long and short fully-executed chain
+(forced by a scalar readback) to cancel the constant overhead.
+
+Usage:  python tools/roofline.py [mx=1024 my=1024 nsteps=200]
+Prints one JSON object; docs/performance.md quotes these numbers.
+"""
+
+import json
+import sys
+import time
+
+
+def _diff_time(run_n, n0, n1, reps=3):
+    """Best-of-reps differenced wall time between chains of n1 and n0
+    iterations; run_n(n) must force completion via a host readback."""
+    run_n(n0)                       # compile + warm
+    t_small = min(_one(run_n, n0) for _ in range(reps))
+    t_big = min(_one(run_n, n1) for _ in range(reps))
+    return t_big - t_small
+
+
+def _one(run_n, n):
+    t0 = time.perf_counter()
+    run_n(n)
+    return time.perf_counter() - t0
+
+
+def vpu_peak(dtype="float32"):
+    """Empirical fused-elementwise throughput: x <- x*x + c (2 flops,
+    non-foldable) on an 8M array, 512 vs 2560 iterations differenced."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    n = 8 * 1024 * 1024
+    x0 = jnp.full((n,), 0.001, dtype=dtype)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
+    def chain(x, k):
+        def body(i, x):
+            return x * x + 0.1
+        return lax.fori_loop(0, k, body, x, unroll=16)
+
+    def run_n(k):
+        out = chain(x0, k)
+        float(out[0])               # forces full execution
+
+    k0, k1 = 512, 2560
+    t = _diff_time(run_n, k0, k1)
+    return 2.0 * n * (k1 - k0) / t
+
+
+def hbm_stream(dtype="float32"):
+    """Empirical HBM bandwidth: fori_loop of x <- x + 1 over 256 MB —
+    the loop-carried array is read and written from HBM every iteration
+    (cross-iteration fusion is impossible for a while-loop carry)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    n = 64 * 1024 * 1024
+    x0 = jnp.zeros((n,), dtype=dtype)
+
+    @jax.jit
+    def chain(x, k):
+        return lax.fori_loop(0, k, lambda i, x: x + 1.0, x)
+
+    def run_n(k):
+        out = chain(x0, k)
+        float(out[0])
+
+    k0, k1 = 8, 72
+    t = _diff_time(run_n, k0, k1)
+    return 8.0 * n * (k1 - k0) / t
+
+
+def step_cost(step, q, dt):
+    """XLA cost analysis of one compiled step call (use on an UNTILED
+    step: lax.map bodies are counted once, not trip-count times)."""
+    import jax
+
+    @jax.jit
+    def one(qc):
+        return step(qc, None, dt, 0.0)
+
+    ca = one.lower(q).compile().cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    return {"flops": float(ca.get("flops", -1.0)),
+            "bytes": float(ca.get("bytes accessed", -1.0))}
+
+
+def measured_steps_per_sec(step, q, dt, nsteps):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def chain(q0, n):
+        def body(i, carry):
+            qc, cfl = carry
+            qn, c = step(qc, None, dt, 0.0)
+            return qn, jnp.maximum(cfl, c)
+        return lax.fori_loop(0, n, body, (q0, jnp.zeros((), q.dtype)))
+
+    def run_n(n):
+        out, cfl = chain(q, n)
+        float(jnp.sum(out[0, ::256, ::256])) + float(cfl)
+
+    t = _diff_time(run_n, 20, 20 + nsteps)
+    return nsteps / t
+
+
+def _analyze(setup, solver_type, mx, my, dt_frac, nsteps, vpu, hbm,
+             dtype="float32"):
+    import jax.numpy as jnp
+
+    cells = mx * my
+    # cost analysis on the monolithic (untiled) build of the same step
+    claw_u = setup(mx=mx, my=my, solver_type=solver_type, outdir=None,
+                   dtype=dtype)
+    claw_u.solver.soa_tile_rows = 0
+    claw_u.solver.setup(claw_u.solution)
+    q = jnp.asarray(claw_u.solution.state.q)
+    dt = dt_frac / mx
+    cost = step_cost(claw_u.solver._step_fn, q, dt)
+
+    # timing on the production (tiled) build
+    claw_t = setup(mx=mx, my=my, solver_type=solver_type, outdir=None,
+                   dtype=dtype)
+    claw_t.solver.setup(claw_t.solution)
+    sps = measured_steps_per_sec(claw_t.solver._step_fn, q, dt, nsteps)
+
+    return {
+        "flops_per_cell": cost["flops"] / cells,
+        "bytes_per_cell_untiled_costmodel": cost["bytes"] / cells,
+        "cell_updates_per_sec": sps * cells,
+        "achieved_flops_per_sec": sps * cost["flops"],
+        "pct_of_vpu_roofline": 100.0 * sps * cost["flops"] / vpu,
+        "min_bytes_per_cell": 12 * q.shape[0] * q.dtype.itemsize // 4,
+        "pct_of_hbm_roofline_at_min_traffic":
+            100.0 * sps * 3 * q.size * q.dtype.itemsize / hbm,
+    }
+
+
+def main(mx=1024, my=1024, nsteps=200, sc=1):
+    import jax
+
+    sys.path.insert(0, "examples")
+    from euler_2d_quadrants import setup
+
+    out = {"device": str(jax.devices()[0])}
+    out["vpu_flops_per_sec"] = vpu_peak()
+    out["hbm_bytes_per_sec"] = hbm_stream()
+
+    out["classic"] = _analyze(setup, "classic", mx, my, 0.2, nsteps,
+                              out["vpu_flops_per_sec"],
+                              out["hbm_bytes_per_sec"])
+    if sc:
+        out["sharpclaw_ssp104"] = _analyze(
+            setup, "sharpclaw", mx, my, 0.1, max(20, nsteps // 5),
+            out["vpu_flops_per_sec"], out["hbm_bytes_per_sec"])
+
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    kwargs = {}
+    for arg in sys.argv[1:]:
+        k, v = arg.split("=")
+        kwargs[k] = int(v)
+    main(**kwargs)
