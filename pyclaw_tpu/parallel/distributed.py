@@ -46,6 +46,16 @@ def init_distributed(coordinator_address=None, num_processes=None,
 
     import jax
 
+    # generic-cluster env recipe (mpirun/srun-style launchers): the
+    # coordinator/size/rank triple via environment variables — TPU pod
+    # slices autodetect instead and need none of these
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+
     want = (coordinator_address is not None or num_processes is not None
             or bool(os.environ.get("JAX_COORDINATOR_ADDRESS")))
     if (want and not _initialized

@@ -30,6 +30,10 @@ def main(local=512, nsteps=20, devices=None, cpu=0, distributed=0):
     if cpu:
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                    + f" --xla_force_host_platform_device_count={devices or 8}")
+        # must precede backend init (incl. jax.distributed.initialize):
+        # on tunneled dev boxes the TPU plugin otherwise wins
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     if distributed:
         # must precede any other JAX usage
@@ -37,8 +41,6 @@ def main(local=512, nsteps=20, devices=None, cpu=0, distributed=0):
         init_distributed()
 
     import jax
-    if cpu:
-        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     import pyclaw_tpu as pyclaw
@@ -90,14 +92,19 @@ def main(local=512, nsteps=20, devices=None, cpu=0, distributed=0):
         timed(2)                      # compile + warm caches
         el = timed(nsteps + 5) - timed(5)
         cups = mx * my * nsteps / el
-        if base_cups is None:
-            base_cups = cups
-        eff = cups / (base_cups * ndev)
-        results.append({"devices": ndev,
-                        "hosts": jax.process_count(),
-                        "grid": [mx, my],
-                        "cell_updates_per_sec": round(cups, 1),
-                        "efficiency_vs_1dev": round(eff, 4)})
+        row = {"devices": ndev,
+               "hosts": jax.process_count(),
+               "grid": [mx, my],
+               "cell_updates_per_sec": round(cups, 1)}
+        if distributed:
+            # single whole-slice row: efficiency needs an external
+            # 1-device baseline (run without distributed=1 to get one)
+            row["note"] = "efficiency = cups / (1dev_cups * devices)"
+        else:
+            if base_cups is None:
+                base_cups = cups
+            row["efficiency_vs_1dev"] = round(cups / (base_cups * ndev), 4)
+        results.append(row)
         if main_proc:
             print(json.dumps(results[-1]))
     return results
