@@ -334,6 +334,20 @@ def step2(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order, fwave,
 # ======================================================================
 # 3D unsplit (step3 + flux3 with pairwise transverse corner transport)
 # ======================================================================
+def _embed(v, like, starts):
+    """Zero-pad ``v`` so it sits at offsets ``starts`` (dict axis->start,
+    default 0) within an array shaped like ``like`` — the fusible
+    replacement for scatter-add of a slice-aligned contribution (XLA
+    turns jnp.pad into a pad op it fuses into the consumer; a
+    dynamic-update-slice forces a full-array copy per call, which made
+    the 3D transverse section ~300 read-modify-write passes/step)."""
+    pads = []
+    for ax in range(v.ndim):
+        start = starts.get(ax, 0)
+        pads.append((start, like.shape[ax] - start - v.shape[ax]))
+    return jnp.pad(v, pads)
+
+
 def _slc(a, axis, sl):
     idx = [slice(None)] * a.ndim
     idx[axis] = sl
@@ -427,7 +441,6 @@ def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
                     i0 = imp - 1   # target cell offset along sweep axis
                     n_d = shape[d]
                     n_e = shape[e]
-                    contrib = jnp.zeros_like(F[e])
                     # below-going: F[e][.., cell i0+k (axis d), iface j-1
                     # (axis e)] -= half*bm   for cells j in [1, n_e-1]
                     bm_s = _slc(bm, axis_e, slice(1, n_e))
@@ -440,11 +453,8 @@ def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
                         c_bm = 0.5 * _slc(dd, e, slice(1, n_e))[None]
                         c_bp = 0.5 * _slc(dd, e, slice(0, n_e - 1))[None]
                         co2_full = (dt / (6.0 * deltas[e])) * dd
-                    tgt = [slice(None)] * contrib.ndim
-                    tgt[axis_d] = slice(i0, i0 + n_d - 1)
-                    contrib = contrib.at[tuple(tgt)].add(-c_bm * bm_s)
-                    contrib = contrib.at[tuple(tgt)].add(-c_bp * bp_s)
-                    F[e] = F[e] + contrib
+                    F[e] = F[e] + _embed(-(c_bm * bm_s + c_bp * bp_s),
+                                         F[e], {axis_d: i0})
 
                     # ---- double-transverse (rptt3): corner-of-corner
                     # corrections into the third axis' fluxes.  Each
@@ -467,39 +477,29 @@ def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
                                 # [0, n_f-2]  -> slice source rows so the
                                 # scatter stays in-bounds (edge rows only
                                 # influence ghost updates)
-                                if f_off == -1:
-                                    f_src = slice(1, n_f)
-                                    fi = slice(0, n_f - 1)
-                                else:
-                                    f_src = slice(0, n_f - 1)
-                                    fi = slice(0, n_f - 1)
+                                f_src = (slice(1, n_f) if f_off == -1
+                                         else slice(0, n_f - 1))
                                 cs = _slc(c_part, axis_f, f_src)
                                 if co2_full is None:
                                     co_cs = coeff2
                                 else:   # κ-scaled, sliced like cs
                                     co_cs = _slc(co2_full, f, f_src)[None]
-                                ctn = jnp.zeros_like(F[f])
-                                t2 = [slice(None)] * ctn.ndim
-                                t2[axis_d] = slice(i0, i0 + n_d - 1)
-                                t2[axis_f] = fi
                                 # + at the part's own e-row
-                                ctn = ctn.at[tuple(t2)].add(
-                                    sgn * co_cs * cs)
+                                F[f] = F[f] + _embed(sgn * co_cs * cs,
+                                                     F[f], {axis_d: i0})
                                 # - at the e-row it crosses into
                                 if e_dir > 0:
                                     e_src = slice(0, n_e - 1)
-                                    e_tgt = slice(1, n_e)
+                                    e_start = 1
                                 else:
                                     e_src = slice(1, n_e)
-                                    e_tgt = slice(0, n_e - 1)
+                                    e_start = 0
                                 src_e = _slc(cs, axis_e, e_src)
                                 co_e = (co_cs if co2_full is None
                                         else _slc(co_cs, 1 + e, e_src))
-                                t3 = list(t2)
-                                t3[axis_e] = e_tgt
-                                ctn = ctn.at[tuple(t3)].add(
-                                    -sgn * co_e * src_e)
-                                F[f] = F[f] + ctn
+                                F[f] = F[f] + _embed(
+                                    -sgn * co_e * src_e, F[f],
+                                    {axis_d: i0, axis_e: e_start})
 
     # ---- assemble update over cells 1..n-2 on every axis --------------
     def inner_cells(a):
@@ -572,33 +572,50 @@ def step2_tiled(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order, fwave,
 def step3_tiled(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim,
                 order, fwave, index_capa, num_ghost, transverse_waves=2,
                 tile_rows=16):
-    """x-tiled driver around :func:`step3` (same VMEM-blocking trick in
-    3D — tiles along the leading spatial axis, full y/z extent per
-    tile).  Bit-identical; falls back when the rows don't divide."""
+    """(x, y)-tiled driver around :func:`step3` — the 3D VMEM-blocking
+    driver tiles BOTH leading spatial axes so per-tile slabs are thin
+    pencils (num_eqn, tx+2g, ty+2g, nz) small enough that the dozens of
+    wave/fluctuation intermediates live in VMEM.  (The round-2 x-only
+    tiling left (5, tx+2g, ny, nz) planes of ~15 MB whose intermediates
+    spilled to HBM — measured 11 M cups at 128^3 vs the VPU-roofline
+    ceiling of ~320 M.)  Bit-identical to the monolithic step; falls
+    back to x-only tiling, then monolithic, when rows don't divide."""
     from jax import lax
 
     g = num_ghost
     num_eqn, nx, ny, nz = q.shape
-    rows = nx - 2 * g
-    tile_rows = auto_tile(rows, tile_rows)
-    if tile_rows is None:
+    rows_x, rows_y = nx - 2 * g, ny - 2 * g
+    tx = auto_tile(rows_x, tile_rows)
+    ty = auto_tile(rows_y, tile_rows)
+    if tx is None:
         return step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params,
                      mthlim, order, fwave, index_capa, g,
                      transverse_waves)
-    nt = rows // tile_rows
+    ntx = rows_x // tx
+    nty = rows_y // ty if ty is not None else 1
+    ty_e = ty if ty is not None else rows_y   # y-extent per tile
 
-    def body(s):
-        blk = lax.dynamic_slice(q, (0, s, 0, 0),
-                                (num_eqn, tile_rows + 2 * g, ny, nz))
+    starts = jnp.stack(
+        [jnp.repeat(jnp.arange(ntx) * tx, nty),
+         jnp.tile(jnp.arange(nty) * (ty or 0), ntx)], axis=1)
+
+    def body(se):
+        sx, sy = se[0], se[1]
+        blk = lax.dynamic_slice(
+            q, (0, sx, sy, 0), (num_eqn, tx + 2 * g, ty_e + 2 * g, nz))
         ablk = None if aux is None else lax.dynamic_slice(
-            aux, (0, s, 0, 0), (aux.shape[0], tile_rows + 2 * g, ny, nz))
+            aux, (0, sx, sy, 0),
+            (aux.shape[0], tx + 2 * g, ty_e + 2 * g, nz))
         return step3(blk, ablk, dt, dx, dy, dz, rp, rpt, rptt, params,
                      mthlim, order, fwave, index_capa, g,
                      transverse_waves)
 
-    outs, cfls = lax.map(body, jnp.arange(nt) * tile_rows)
-    q_new = jnp.moveaxis(outs, 0, 1).reshape(num_eqn, rows, ny - 2 * g,
-                                             nz - 2 * g)
+    outs, cfls = lax.map(body, starts)
+    # (ntx*nty, ne, tx, ty_e, nzi) -> (ne, rows_x, rows_y, nzi)
+    nzi = nz - 2 * g
+    q_new = outs.reshape(ntx, nty, num_eqn, tx, ty_e, nzi)
+    q_new = jnp.transpose(q_new, (2, 0, 3, 1, 4, 5)).reshape(
+        num_eqn, rows_x, rows_y, nzi)
     return q_new, jnp.max(cfls)
 
 

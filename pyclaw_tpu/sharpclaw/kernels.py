@@ -396,6 +396,7 @@ def dq_nd_tiled(qbc, auxbc, dt, deltas, rp, params, lim_type, weno_order,
     g = num_ghost
     num_eqn = qbc.shape[0]
     nx = qbc.shape[1]
+    num_dim = qbc.ndim - 1
     rows = nx - 2 * g
     from ..classic.kernels import auto_tile
     tile_rows = auto_tile(rows, tile_rows)
@@ -408,17 +409,50 @@ def dq_nd_tiled(qbc, auxbc, dt, deltas, rp, params, lim_type, weno_order,
     nt = rows // tile_rows
     rest = qbc.shape[2:]
 
+    def run_dq(blk, ablk):
+        return dq_nd(blk, ablk, dt, deltas, rp, params, lim_type,
+                     weno_order, index_capa, g, tfluct=tfluct,
+                     char_decomp=char_decomp, evec=evec,
+                     positivity=positivity, backend=backend,
+                     tvd_limiter=tvd_limiter, flux=flux)
+
+    if num_dim == 3:
+        # tile BOTH leading axes in 3D: per-tile pencils keep the many
+        # per-direction WENO/Riemann intermediates VMEM-sized (same
+        # lesson as classic step3_tiled)
+        rows_y = qbc.shape[2] - 2 * g
+        ty = auto_tile(rows_y, tile_rows)
+        if ty is not None:
+            nty = rows_y // ty
+            nz = qbc.shape[3]
+            starts = jnp.stack(
+                [jnp.repeat(jnp.arange(nt) * tile_rows, nty),
+                 jnp.tile(jnp.arange(nty) * ty, nt)], axis=1)
+
+            def body2(se):
+                sx, sy = se[0], se[1]
+                blk = lax.dynamic_slice(
+                    qbc, (0, sx, sy, 0),
+                    (num_eqn, tile_rows + 2 * g, ty + 2 * g, nz))
+                ablk = None if auxbc is None else lax.dynamic_slice(
+                    auxbc, (0, sx, sy, 0),
+                    (auxbc.shape[0], tile_rows + 2 * g, ty + 2 * g, nz))
+                return run_dq(blk, ablk)
+
+            outs, cfls = lax.map(body2, starts)
+            nzi = nz - 2 * g
+            dq = outs.reshape(nt, nty, num_eqn, tile_rows, ty, nzi)
+            dq = jnp.transpose(dq, (2, 0, 3, 1, 4, 5)).reshape(
+                num_eqn, rows, rows_y, nzi)
+            return dq, jnp.max(cfls)
+
     def body(s):
         start = (0, s) + (0,) * len(rest)
         blk = lax.dynamic_slice(qbc, start,
                                 (num_eqn, tile_rows + 2 * g) + rest)
         ablk = None if auxbc is None else lax.dynamic_slice(
             auxbc, start, (auxbc.shape[0], tile_rows + 2 * g) + rest)
-        return dq_nd(blk, ablk, dt, deltas, rp, params, lim_type,
-                     weno_order, index_capa, g, tfluct=tfluct,
-                     char_decomp=char_decomp, evec=evec,
-                     positivity=positivity, backend=backend,
-                     tvd_limiter=tvd_limiter, flux=flux)
+        return run_dq(blk, ablk)
 
     outs, cfls = lax.map(body, jnp.arange(nt) * tile_rows)
     out_rest = tuple(n - 2 * g for n in rest)

@@ -111,3 +111,31 @@ def test_dq_nd_tiled_matches_monolithic():
     q_u, c_u = _sharpclaw_generic(0)
     np.testing.assert_allclose(q_t, q_u, atol=1e-14)
     assert abs(c_t - c_u) < 1e-14
+
+
+def _sharpclaw_3d(tile):
+    solver = pyclaw.SharpClawSolver3D(riemann.euler_3D)
+    solver.all_bcs = pyclaw.BC.extrap
+    solver.time_integrator = "Euler"
+    solver.soa_tile_rows = tile
+    domain = pyclaw.Domain([-1.0] * 3, [1.0] * 3, [16, 16, 12])
+    state = pyclaw.State(domain, solver.rp.num_eqn)
+    state.problem_data["gamma"] = 1.4
+    x, y, z = domain.grid.c_centers
+    r = np.sqrt(x ** 2 + y ** 2 + z ** 2)
+    state.q[0] = np.where(r < 0.5, 2.0, 1.0)
+    state.q[1:4] = 0.0
+    state.q[4] = np.where(r < 0.5, 5.0, 2.5)
+    sol = pyclaw.Solution(state, domain)
+    solver.setup(sol)
+    q, cfl = solver._step_fn(jnp.asarray(state.q), None, 1e-3, 0.0)
+    return np.asarray(q), float(cfl)
+
+
+def test_dq_3d_two_axis_tiled_matches_monolithic():
+    """3D SharpClaw (x, y)-tiled dq (round-3 VMEM blocking) ==
+    monolithic, bit-exact."""
+    q_t, c_t = _sharpclaw_3d(4)
+    q_u, c_u = _sharpclaw_3d(0)
+    np.testing.assert_allclose(q_t, q_u, atol=1e-14)
+    assert abs(c_t - c_u) < 1e-14
