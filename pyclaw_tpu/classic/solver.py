@@ -328,9 +328,10 @@ class ClawSolver3D(ClawSolver):
         self.transverse_waves = 2
         self.cfl_max = 1.0
         self.cfl_desired = 0.9
-        # x-tile size for the tiled step3 driver (VMEM blocking);
-        # None/0 = monolithic step
-        self.soa_tile_rows = 16
+        # (x,y)-tile size for the tiled step3 driver (VMEM blocking);
+        # None/0 = monolithic step.  12 measured best at 192^3 f32
+        # (scan r3: 8->45.7, 12->56.7, 16->47.0, 24->33.4 M cups)
+        self.soa_tile_rows = 12
 
     def setup(self, solution):
         if (not self.dimensional_split and self.transverse_waves >= 2

@@ -61,7 +61,9 @@ class SharpClawSolver(Solver):
         self.char_decomp = 0
         self.use_soa = True   # False forces the generic AoS dq kernels
         # row-tile size for the tiled SoA driver (keeps per-tile
-        # intermediates in VMEM); None/0 = monolithic sweep
+        # intermediates in VMEM); None/0 = monolithic sweep.  In 3D the
+        # driver tiles (x, y) with this cap — setup() drops it to 12
+        # (the measured 3D sweet spot) unless the user set it.
         self.soa_tile_rows = 128
         self.backend = DEFAULT_BACKEND
         self._step_fn = None
@@ -92,6 +94,9 @@ class SharpClawSolver(Solver):
             raise ValueError("State.num_eqn mismatch with Riemann solver")
         self.num_ghost = self._weno_ghost
         self._size_bc_lists(self.num_dim)
+        if self.num_dim == 3 and self.soa_tile_rows == 128:
+            self.soa_tile_rows = 12   # 3D (x,y)-tile sweet spot
+
         if not self._cfl_set_by_user and self.time_integrator in _CFL_DEFAULTS:
             self.cfl_desired, self.cfl_max = _CFL_DEFAULTS[self.time_integrator]
         if self.dt_initial is not None:
