@@ -569,28 +569,25 @@ def step2_tiled(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order, fwave,
     return q_new, jnp.max(cfls)
 
 
-def step3_tiled(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim,
-                order, fwave, index_capa, num_ghost, transverse_waves=2,
-                tile_rows=16):
-    """(x, y)-tiled driver around :func:`step3` — the 3D VMEM-blocking
-    driver tiles BOTH leading spatial axes so per-tile slabs are thin
+def tiled_xy_map(fn, q, aux, num_ghost, cap):
+    """Shared (x, y) two-axis VMEM-blocking driver for 3D kernels:
+    run ``fn(blk, ablk) -> (out_interior, cfl)`` over tiles of both
+    leading spatial axes (apron = num_ghost each side), sequenced by
+    ``lax.map``, and stitch the interiors back.  Per-tile slabs are thin
     pencils (num_eqn, tx+2g, ty+2g, nz) small enough that the dozens of
-    wave/fluctuation intermediates live in VMEM.  (The round-2 x-only
-    tiling left (5, tx+2g, ny, nz) planes of ~15 MB whose intermediates
-    spilled to HBM — measured 11 M cups at 128^3 vs the VPU-roofline
-    ceiling of ~320 M.)  Bit-identical to the monolithic step; falls
-    back to x-only tiling, then monolithic, when rows don't divide."""
+    per-direction intermediates live in VMEM.  (x-only tiling left
+    ~15 MB planes per tile whose intermediates spilled to HBM.)
+    Bit-identical stitching; returns None when the x rows don't divide
+    (caller falls back to the monolithic kernel)."""
     from jax import lax
 
     g = num_ghost
     num_eqn, nx, ny, nz = q.shape
     rows_x, rows_y = nx - 2 * g, ny - 2 * g
-    tx = auto_tile(rows_x, tile_rows)
-    ty = auto_tile(rows_y, tile_rows)
+    tx = auto_tile(rows_x, cap)
     if tx is None:
-        return step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params,
-                     mthlim, order, fwave, index_capa, g,
-                     transverse_waves)
+        return None
+    ty = auto_tile(rows_y, cap)
     ntx = rows_x // tx
     nty = rows_y // ty if ty is not None else 1
     ty_e = ty if ty is not None else rows_y   # y-extent per tile
@@ -606,17 +603,34 @@ def step3_tiled(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim,
         ablk = None if aux is None else lax.dynamic_slice(
             aux, (0, sx, sy, 0),
             (aux.shape[0], tx + 2 * g, ty_e + 2 * g, nz))
-        return step3(blk, ablk, dt, dx, dy, dz, rp, rpt, rptt, params,
-                     mthlim, order, fwave, index_capa, g,
-                     transverse_waves)
+        return fn(blk, ablk)
 
     outs, cfls = lax.map(body, starts)
     # (ntx*nty, ne, tx, ty_e, nzi) -> (ne, rows_x, rows_y, nzi)
     nzi = nz - 2 * g
-    q_new = outs.reshape(ntx, nty, num_eqn, tx, ty_e, nzi)
-    q_new = jnp.transpose(q_new, (2, 0, 3, 1, 4, 5)).reshape(
+    out = outs.reshape(ntx, nty, num_eqn, tx, ty_e, nzi)
+    out = jnp.transpose(out, (2, 0, 3, 1, 4, 5)).reshape(
         num_eqn, rows_x, rows_y, nzi)
-    return q_new, jnp.max(cfls)
+    return out, jnp.max(cfls)
+
+
+def step3_tiled(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim,
+                order, fwave, index_capa, num_ghost, transverse_waves=2,
+                tile_rows=12):
+    """(x, y)-tiled driver around :func:`step3` via
+    :func:`tiled_xy_map`; falls back to the monolithic step when the
+    rows don't divide."""
+    def body(blk, ablk):
+        return step3(blk, ablk, dt, dx, dy, dz, rp, rpt, rptt, params,
+                     mthlim, order, fwave, index_capa, num_ghost,
+                     transverse_waves)
+
+    out = tiled_xy_map(body, q, aux, num_ghost, tile_rows)
+    if out is None:
+        return step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params,
+                     mthlim, order, fwave, index_capa, num_ghost,
+                     transverse_waves)
+    return out
 
 
 def auto_tile(rows, cap):

@@ -191,8 +191,23 @@ class ClawSolver2D(ClawSolver):
             tm = 8 if nx % 8 == 0 else nx
             tn = 128 if ny % 128 == 0 else ny
             # genuine VMEM blocking needs (8,128)-divisible dims; a
-            # (nx,ny) "tile" is the single-block case in disguise
-            tiles_ok = tm < nx or tn < ny or (nx <= 8 and ny <= 128)
+            # (nx,ny) "tile" is the single-block case in disguise, and a
+            # tile spanning a full NON-divisible axis must still fit the
+            # per-tile VMEM budget (slab + materialized intermediates)
+            itemsize = 8 if state.q.dtype == np.float64 else 4
+            num_arrays = self.rp.num_eqn + (state.num_aux or 0)
+            slab_bytes = (num_arrays * (tm + 2 * g) * (tn + 2 * g)
+                          * itemsize)
+            tiles_ok = ((tm < nx or tn < ny or (nx <= 8 and ny <= 128))
+                        and slab_bytes <= 512 * 1024)
+            if (tm < nx or tn < ny) and not tiles_ok:
+                raise ValueError(
+                    f"backend='pallas': the {nx}x{ny} grid tiles only "
+                    f"along one axis, leaving a ({tm},{tn}) tile whose "
+                    f"slab (~{slab_bytes / 1e6:.1f} MB) exceeds the "
+                    f"per-tile VMEM budget. Use grid dims divisible by "
+                    f"(8, 128), or backend='xla' (the production path "
+                    f"— see docs/performance.md).")
             if self._soa_eligible(state) and tiles_ok:
                 # genuinely tiled kernel (halo-apron DMA per tile)
                 rpn_soa = self.rp.rpn_soa
@@ -269,31 +284,33 @@ class ClawSolver2D(ClawSolver):
         materialized-wave kernel) or 'soa' (recompute dataflow).
 
         ``solver.kernel_family`` = 'auto' | 'aos' | 'soa'.  'auto' picks
-        AoS whenever row tiling will engage on the SHARD-LOCAL row count
+        AoS whenever row tiling will engage on the GLOBAL row count
         (VMEM-resident tiles make materialization faster than recompute)
-        and the SoA path otherwise — tiling acts per local block, so a
-        distributed run whose shards are too thin to tile correctly
-        falls back to the SoA monolithic family (ADVICE r2 item 2).
-        The decision is made on the host from global shape + mesh —
-        identical on every shard, so the boundary bands of the
-        halo-overlap path use the same family and decomposition
-        invariance stays at roundoff."""
+        and the SoA path otherwise.  The decision deliberately ignores
+        the mesh: a decomposition-DEPENDENT choice would let serial and
+        N-device runs of the same problem use different (roundoff-
+        distinct) families, weakening the decomposition-invariance
+        contract.  Tiling engages per SHARD-local block, so distributed
+        runs whose shards are too thin to tile run the monolithic AoS
+        kernel — a perf (never correctness) pessimization; _family_rows
+        logs a hint to set kernel_family='soa' in that case (ADVICE r2
+        item 2)."""
         fam = getattr(self, "kernel_family", "auto")
         eligible = self._soa_eligible(state)
         if fam == "soa":
             return "soa" if eligible else "aos"
         if fam == "aos":
             return "aos"
-        rows = self._family_rows(state)
-        cap = getattr(self, "soa_tile_rows", 128)
+        rows = state.patch.num_cells_global[0]
+        cap = getattr(self, "soa_tile_rows", 128) or 128
         if kernels.auto_tile(rows, cap) is not None:
+            self._warn_thin_shards(state, cap, eligible)
             return "aos"
         return "soa" if eligible else "aos"
 
-    def _family_rows(self, state):
-        """Rows the tiled driver will actually see: shard-local in
-        distributed runs (parallel/solver.py overrides)."""
-        return state.patch.num_cells_global[0]
+    def _warn_thin_shards(self, state, cap, eligible):
+        """Distributed override (parallel/solver.py): log a hint when
+        shard-local rows are too thin for the AoS tiling to engage."""
 
     def _soa_eligible(self, state):
         """The SoA fast path covers the no-aux / no-capacity / wave-form

@@ -255,21 +255,40 @@ def weno_stencil(order, shifts):
     c_right, c_left, d_right, d_left, B = (
         [np.asarray(a) for a in _weno_tables(k)])
 
+    # smoothness indicators, shared by both edges
+    betas = []
+    for l in range(k):
+        beta = 0.0
+        cells = [shifts[(-k + 1 + l + j) + k - 1] for j in range(k)]
+        for a in range(k):
+            for b in range(k):
+                coeff = float(B[l][a, b])
+                if coeff != 0.0:
+                    beta = beta + coeff * cells[a] * cells[b]
+        betas.append(beta)
+
+    f64 = jnp.result_type(shifts[0]) == jnp.float64
+    if f64:
+        eps = EPWENO
+    else:
+        # float32: the reference's absolute 1e-36 underflows when
+        # squared ((eps+0)^2 -> 0 -> inf/NaN on locally constant data,
+        # same issue fixed in weno5_stencil); normalize the betas (the
+        # weights are scale-invariant ratios — exact in real
+        # arithmetic) and use the classical JS epsilon.
+        r = 1.0 / (sum(betas) + 1e-30)
+        betas = [b * r for b in betas]
+        eps = 1e-6
+
     def edge(c_tab, d_tab):
         num = 0.0
         den = 0.0
         for l in range(k):
-            beta = 0.0
             cells = [shifts[(-k + 1 + l + j) + k - 1] for j in range(k)]
-            for a in range(k):
-                for b in range(k):
-                    coeff = float(B[l][a, b])
-                    if coeff != 0.0:
-                        beta = beta + coeff * cells[a] * cells[b]
             p = 0.0
             for j in range(k):
                 p = p + float(c_tab[l, j]) * cells[j]
-            alpha = float(d_tab[l]) / (EPWENO + beta) ** 2
+            alpha = float(d_tab[l]) / (eps + betas[l]) ** 2
             num = num + alpha * p
             den = den + alpha
         return num / den

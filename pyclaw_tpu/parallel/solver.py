@@ -165,15 +165,26 @@ class _DistributedMixin:
             return out, cfl
         return stepper
 
-    def _family_rows(self, state):
-        """Shard-local row count along dim 0 — the rows the tiled driver
-        sees inside shard_map — so kernel_family='auto' picks the family
-        that actually engages on each shard (ADVICE r2 item 2)."""
+    def _warn_thin_shards(self, state, cap, eligible):
+        """kernel_family='auto' keys off the GLOBAL row count (so serial
+        and distributed runs use the same family — decomposition
+        invariance); warn when the shard-local rows are too thin for
+        tiling to actually engage, since the monolithic SoA family would
+        then be faster (ADVICE r2 item 2)."""
         if self.mesh is None:
             self.mesh = make_mesh(self.num_dim)
+        from ..classic.kernels import auto_tile
         shape = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
         n0 = shape.get(AXIS_NAMES[0], 1)
-        return state.patch.num_cells_global[0] // n0
+        local_rows = state.patch.num_cells_global[0] // n0
+        if eligible and auto_tile(local_rows, cap) is None:
+            import logging
+            logging.getLogger("pyclaw.solver").warning(
+                "kernel_family='auto' picked the AoS family from the "
+                "global grid, but shard-local rows (%d) are too thin "
+                "for its VMEM tiling to engage; consider "
+                "solver.kernel_family='soa' for this decomposition.",
+                local_rows)
 
     # -- seam 3: shard_map + CFL reduction -----------------------------
     def _finalize_step(self, step_fn, state):

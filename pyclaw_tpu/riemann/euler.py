@@ -643,10 +643,11 @@ def _evec_euler_nd(ixy, q, aux, params):
     return R, L
 
 
-def _make_euler_flux(ndim, tracer=False):
+def _make_euler_flux(ndim):
     """Physical Euler flux f(q) along sweep direction ixy (reference
     flux1.f90's tfluct-free total fluctuation uses f(qr)-f(ql); see
-    riemann/__init__.py RiemannSolver.flux)."""
+    riemann/__init__.py RiemannSolver.flux).  Any trailing passive
+    tracer components are covered by the generic u*q advection term."""
     e_idx = 1 + ndim
 
     def flux(ixy, q, aux, params):
@@ -725,7 +726,7 @@ for _s in (euler_with_efix_1D, euler_roe_1D, euler_hlle_1D):
     _s.flux = _make_euler_flux(1)
 euler_4wave_2D.flux = _make_euler_flux(2)
 euler_4wave_2D.flux_soa = _flux_euler_2d_soa
-euler_5wave_2D.flux = _make_euler_flux(2, tracer=True)
+euler_5wave_2D.flux = _make_euler_flux(2)
 euler_5wave_2D.flux_soa = lambda ixy, qs, params: _flux_euler_2d_soa(
     ixy, qs, params, tracer=True)
 euler_3D.flux = _make_euler_flux(3)

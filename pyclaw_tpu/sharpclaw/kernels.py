@@ -417,34 +417,13 @@ def dq_nd_tiled(qbc, auxbc, dt, deltas, rp, params, lim_type, weno_order,
                      tvd_limiter=tvd_limiter, flux=flux)
 
     if num_dim == 3:
-        # tile BOTH leading axes in 3D: per-tile pencils keep the many
-        # per-direction WENO/Riemann intermediates VMEM-sized (same
-        # lesson as classic step3_tiled)
-        rows_y = qbc.shape[2] - 2 * g
-        ty = auto_tile(rows_y, tile_rows)
-        if ty is not None:
-            nty = rows_y // ty
-            nz = qbc.shape[3]
-            starts = jnp.stack(
-                [jnp.repeat(jnp.arange(nt) * tile_rows, nty),
-                 jnp.tile(jnp.arange(nty) * ty, nt)], axis=1)
-
-            def body2(se):
-                sx, sy = se[0], se[1]
-                blk = lax.dynamic_slice(
-                    qbc, (0, sx, sy, 0),
-                    (num_eqn, tile_rows + 2 * g, ty + 2 * g, nz))
-                ablk = None if auxbc is None else lax.dynamic_slice(
-                    auxbc, (0, sx, sy, 0),
-                    (auxbc.shape[0], tile_rows + 2 * g, ty + 2 * g, nz))
-                return run_dq(blk, ablk)
-
-            outs, cfls = lax.map(body2, starts)
-            nzi = nz - 2 * g
-            dq = outs.reshape(nt, nty, num_eqn, tile_rows, ty, nzi)
-            dq = jnp.transpose(dq, (2, 0, 3, 1, 4, 5)).reshape(
-                num_eqn, rows, rows_y, nzi)
-            return dq, jnp.max(cfls)
+        # tile BOTH leading axes in 3D via the shared driver: per-tile
+        # pencils keep the many per-direction WENO/Riemann intermediates
+        # VMEM-sized (same lesson as classic step3_tiled)
+        from ..classic.kernels import tiled_xy_map
+        out = tiled_xy_map(run_dq, qbc, auxbc, g, tile_rows)
+        if out is not None:
+            return out
 
     def body(s):
         start = (0, s) + (0,) * len(rest)

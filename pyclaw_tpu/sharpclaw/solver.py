@@ -60,11 +60,11 @@ class SharpClawSolver(Solver):
         self.call_before_step_each_stage = False
         self.char_decomp = 0
         self.use_soa = True   # False forces the generic AoS dq kernels
-        # row-tile size for the tiled SoA driver (keeps per-tile
-        # intermediates in VMEM); None/0 = monolithic sweep.  In 3D the
-        # driver tiles (x, y) with this cap — setup() drops it to 12
-        # (the measured 3D sweet spot) unless the user set it.
-        self.soa_tile_rows = 128
+        # row-tile size cap for the tiled SoA driver (keeps per-tile
+        # intermediates in VMEM); 0 = monolithic sweep; None (default) =
+        # resolved at setup: 128 in 1D/2D, 12 in 3D where the driver
+        # tiles (x, y) (the measured sweet spots — docs/performance.md)
+        self.soa_tile_rows = None
         self.backend = DEFAULT_BACKEND
         self._step_fn = None
         self._cfl_set_by_user = False
@@ -94,8 +94,8 @@ class SharpClawSolver(Solver):
             raise ValueError("State.num_eqn mismatch with Riemann solver")
         self.num_ghost = self._weno_ghost
         self._size_bc_lists(self.num_dim)
-        if self.num_dim == 3 and self.soa_tile_rows == 128:
-            self.soa_tile_rows = 12   # 3D (x,y)-tile sweet spot
+        if self.soa_tile_rows is None:
+            self.soa_tile_rows = 12 if self.num_dim == 3 else 128
 
         if not self._cfl_set_by_user and self.time_integrator in _CFL_DEFAULTS:
             self.cfl_desired, self.cfl_max = _CFL_DEFAULTS[self.time_integrator]

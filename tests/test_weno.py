@@ -101,3 +101,22 @@ def test_weno5_f32_constant_data_finite():
     _, r64 = recon.weno5(jnp.asarray(qs))
     _, r32 = recon.weno5(jnp.asarray(qs, dtype=jnp.float32))
     assert np.abs(np.asarray(r64) - np.asarray(r32))[:, 3:-3].max() < 1e-5
+
+
+def test_weno_high_order_f32_constant_data_finite():
+    """Same f32 underflow regression as order 5, for the generic-order
+    path (review r3 finding 1): orders 7..17 on constant f32 data must
+    be finite and exact, and f64 must be untouched."""
+    for order in (7, 9, 11):
+        q = jnp.full((1, 64), 1.0, dtype=jnp.float32)
+        ql, qr = recon.weno(order, q)
+        k = (order + 1) // 2
+        assert np.all(np.isfinite(np.asarray(qr))), order
+        np.testing.assert_allclose(np.asarray(qr)[0, k:-k], 1.0,
+                                   rtol=2e-7)
+    # f64 path unchanged: matches golden-style smooth reconstruction
+    x = np.linspace(0.0, 2 * np.pi, 128)
+    qs = np.sin(x)[None]
+    _, r64 = recon.weno(7, jnp.asarray(qs))
+    _, r32 = recon.weno(7, jnp.asarray(qs, dtype=jnp.float32))
+    assert np.abs(np.asarray(r64) - np.asarray(r32))[:, 4:-4].max() < 1e-5
