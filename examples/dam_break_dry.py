@@ -18,7 +18,11 @@ def setup(nx=500, dimension=1, outdir="./_output"):
         domain = pyclaw.Domain([-5.0], [5.0], [nx])
     else:
         solver = pyclaw.ClawSolver2D(riemann.sw_aug_2D)
-        solver.transverse_waves = 1
+        # donor-cell corners: CTU transverse corrections are not
+        # positivity-preserving over wetting/drying fronts (GeoClaw
+        # clips the tiny negatives they create; we keep exact h >= 0
+        # by dropping them — robustness over corner accuracy)
+        solver.transverse_waves = 0
         domain = pyclaw.Domain([-5.0, -5.0], [5.0, 5.0], [nx, nx])
     solver.fwave = True
     solver.limiters = [pyclaw.limiters.tvd.minmod]

@@ -187,3 +187,24 @@ def test_shock_forward_step():
     assert 4.5 < rho.max() < 6.0
     # upstream of the bow shock the free stream is untouched
     assert abs(q[0, 2, -2] - 1.4) < 1e-6
+
+
+def test_dam_break_dry_example():
+    """examples/dam_break_dry.py (wetting/drying sw_aug showcase): the
+    1D beach run-up keeps depths exactly nonnegative and the front
+    climbs the beach; the 2D radial variant stays finite and positive."""
+    from dam_break_dry import setup
+
+    claw = setup(nx=200, dimension=1, outdir=None)
+    claw.run()
+    h = np.asarray(claw.solution.q[0])
+    x = claw.solution.domain.grid.x.centers
+    assert np.all(np.isfinite(h)) and h.min() >= 0.0
+    assert x[h > 1e-4].max() > 2.0     # water has run up the dry beach
+
+    claw2 = setup(nx=40, dimension=2, outdir=None)
+    claw2.tfinal = 0.5
+    claw2.num_output_times = 1
+    claw2.run()
+    h2 = np.asarray(claw2.solution.q[0])
+    assert np.all(np.isfinite(h2)) and h2.min() >= -1e-12
