@@ -92,3 +92,14 @@ from . import RiemannSolver  # noqa: E402
 mhd_1D = RiemannSolver("mhd_1D", 1, 7, 2, _rp_mhd_hll,
                        requires=("gamma", "bx"))
 mhd_1D.positivity = _mhd_positivity
+
+
+def _flux_mhd(ixy, q, aux, params):
+    """Ideal-MHD physical flux (RiemannSolver.flux protocol; reuses the
+    solver's own _mhd_flux so the SharpClaw total fluctuation
+    f(qr)-f(ql) matches the HLL fluctuation sum to roundoff)."""
+    f, _ = _mhd_flux(q, params["bx"], params["gamma"])
+    return f
+
+
+mhd_1D.flux = _flux_mhd

@@ -40,6 +40,8 @@ CASES = [
     (riemann.euler_hlle_1D, {"gamma": 1.4}, [1.0, 0.3, 2.5]),
     (riemann.shallow_roe_with_efix_1D, {"grav": 1.0}, [1.0, 0.2]),
     (riemann.shallow_hlle_1D, {"grav": 1.0}, [1.0, 0.2]),
+    (riemann.mhd_1D, {"gamma": 5.0 / 3.0, "bx": 0.75},
+     [1.0, 0.1, 0.05, 0.02, 1.0, 0.3, 2.5]),
 ]
 
 CASES_2D = [
@@ -97,7 +99,7 @@ def test_all_flux_solvers_registered():
                  "shallow_roe_with_efix_1D", "shallow_hlle_1D",
                  "shallow_roe_with_efix_2D", "advection_1D",
                  "advection_2D", "advection_3D", "burgers_1D",
-                 "burgers_2D", "burgers_3D", "traffic_1D"):
+                 "burgers_2D", "burgers_3D", "traffic_1D", "mhd_1D"):
         assert riemann.ALL[name].flux is not None, name
     # fwave-form solvers must NOT register one (their fluctuations carry
     # the source; f(qr)-f(ql) would drop it)
