@@ -302,7 +302,13 @@ class ClawSolver2D(ClawSolver):
         if fam == "aos":
             return "aos"
         rows = state.patch.num_cells_global[0]
-        cap = getattr(self, "soa_tile_rows", 128) or 128
+        cap = getattr(self, "soa_tile_rows", None)
+        if cap == 0:
+            # explicit monolithic sentinel: AoS tiling can never engage,
+            # so the recompute family is the better default (ADVICE r3)
+            return "soa" if eligible else "aos"
+        if cap is None:
+            cap = 128
         if kernels.auto_tile(rows, cap) is not None:
             self._warn_thin_shards(state, cap, eligible)
             return "aos"

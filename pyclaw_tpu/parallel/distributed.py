@@ -56,6 +56,16 @@ def init_distributed(coordinator_address=None, num_processes=None,
     if process_id is None and os.environ.get("JAX_PROCESS_ID"):
         process_id = int(os.environ["JAX_PROCESS_ID"])
 
+    if coordinator_address is None and (num_processes is not None
+                                        or process_id is not None):
+        # partial env recipe: jax.distributed.initialize would fall back
+        # to TPU-pod autodetect and fail opaquely on generic clusters
+        raise ValueError(
+            "init_distributed: JAX_NUM_PROCESSES/JAX_PROCESS_ID are set "
+            "but no coordinator address — set JAX_COORDINATOR_ADDRESS "
+            "(host:port of process 0) as well; generic clusters need the "
+            "full triple, TPU pod slices autodetect and need none")
+
     want = (coordinator_address is not None or num_processes is not None
             or bool(os.environ.get("JAX_COORDINATOR_ADDRESS")))
     if (want and not _initialized

@@ -259,7 +259,8 @@ def _flux_shallow(ixy, q, aux, params):
     g = params["grav"]
     h = q[0]
     mu = 1 + ixy
-    u = q[mu] / h
+    wet = h > 0.0
+    u = jnp.where(wet, q[mu] / jnp.where(wet, h, 1.0), 0.0)
     f = u[None] * q                    # [hu, hu*u, hv*u]
     f = f.at[mu].add(0.5 * g * h * h)
     return f

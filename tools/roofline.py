@@ -141,6 +141,10 @@ def _analyze(setup, solver_type, mx, my, dt_frac, nsteps, vpu, hbm,
     claw_u = setup(mx=mx, my=my, solver_type=solver_type, outdir=None,
                    dtype=dtype)
     claw_u.solver.soa_tile_rows = 0
+    # pin the family the PRODUCTION (tiled) step uses: soa_tile_rows=0
+    # alone now selects the SoA family (the honest 'auto' pick for a
+    # monolithic build), which would cost-analyze the wrong kernel
+    claw_u.solver.kernel_family = "aos"
     claw_u.solver.setup(claw_u.solution)
     q = jnp.asarray(claw_u.solution.state.q)
     dt = dt_frac / mx
