@@ -125,6 +125,17 @@ def main(mx=1024, my=1024, nsteps=300, dtype="float32", sc_steps=60):
     except Exception as e:  # never sink the headline
         e3d = {"error": repr(e)}
 
+    # ---- on-device f32 golden validation (correctness, not speed) ------
+    golden = {}
+    try:
+        sys.path.insert(0, "tools")
+        from tpu_validate import validate
+        res = validate()
+        golden = {"all_ok": all(r.get("ok") for r in res.values()),
+                  "cases": res}
+    except Exception as e:  # never sink the headline
+        golden = {"error": repr(e)}
+
     result = {
         "metric": "cell_updates_per_sec_per_chip_2d_euler_classic",
         "value": round(cups, 1),
@@ -140,6 +151,7 @@ def main(mx=1024, my=1024, nsteps=300, dtype="float32", sc_steps=60):
             "compile_finite": compile_ok,
             "sharpclaw_weno5_ssp104": sc,
             "classic_3d_euler": e3d,
+            "golden_ok": golden,
         },
     }
     print(json.dumps(result))

@@ -175,7 +175,7 @@ def _pad_axis(a, axis, before, after):
 
 
 def step2(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order, fwave,
-          index_capa, num_ghost, transverse_waves=2):
+          index_capa, num_ghost, transverse_waves=2, prefactor=None):
     """2D unsplit classic step (step2.f90 + flux2.f90 equivalent).
 
     q: (num_eqn, nx, ny) ghost-padded.  Two-pass structure (SURVEY.md §7
@@ -256,9 +256,16 @@ def step2(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order, fwave,
         if aux is not None:
             auxx_l, auxx_r = lo(aux, 1), hi(aux, 1)
 
+        # shared per-direction eigensystem (RiemannSolver.prefactor):
+        # both imp splits below use the same Roe averages
+        kwx = {} if prefactor is None else {
+            "eig": prefactor(0, qx_l, qx_r, auxx_l, auxx_r, params)}
+
         # Split A-ΔQ and A+ΔQ into up/down-going parts.
-        bm_am, bp_am = rpt(0, 1, qx_l, qx_r, auxx_l, auxx_r, amdqx_t, params)
-        bm_ap, bp_ap = rpt(0, 2, qx_l, qx_r, auxx_l, auxx_r, apdqx_t, params)
+        bm_am, bp_am = rpt(0, 1, qx_l, qx_r, auxx_l, auxx_r, amdqx_t,
+                           params, **kwx)
+        bm_ap, bp_ap = rpt(0, 2, qx_l, qx_r, auxx_l, auxx_r, apdqx_t,
+                           params, **kwx)
 
         # G~_{i-1, j-1/2} -= dt/(2 dx κ) B-A-ΔQ_{i-1/2,j}
         # G~_{i-1, j+1/2} -= dt/(2 dx κ) B+A-ΔQ_{i-1/2,j}
@@ -298,8 +305,12 @@ def step2(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order, fwave,
         auxy_l = auxy_r = None
         if aux is not None:
             auxy_l, auxy_r = lo(aux, 2), hi(aux, 2)
-        am_bm, ap_bm = rpt(1, 1, qy_l, qy_r, auxy_l, auxy_r, amdqy_t, params)
-        am_bp, ap_bp = rpt(1, 2, qy_l, qy_r, auxy_l, auxy_r, apdqy_t, params)
+        kwy = {} if prefactor is None else {
+            "eig": prefactor(1, qy_l, qy_r, auxy_l, auxy_r, params)}
+        am_bm, ap_bm = rpt(1, 1, qy_l, qy_r, auxy_l, auxy_r, amdqy_t,
+                           params, **kwy)
+        am_bp, ap_bp = rpt(1, 2, qy_l, qy_r, auxy_l, auxy_r, apdqy_t,
+                           params, **kwy)
 
         def transverse_contrib_y(am, ap, j0):
             if capa is None:
@@ -355,7 +366,7 @@ def _slc(a, axis, sl):
 
 
 def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
-          fwave, index_capa, num_ghost, transverse_waves=2):
+          fwave, index_capa, num_ghost, transverse_waves=2, prefactor=None):
     """3D unsplit classic step (step3.f90 + flux3.f90 equivalent).
 
     Normal sweeps + limited corrections in x/y/z, transverse corner
@@ -420,6 +431,11 @@ def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
                 a_r = _slc(aux, axis_d, slice(1, shape[d]))
             else:
                 a_l = a_r = None
+            # shared per-direction eigensystem (RiemannSolver.prefactor):
+            # all 4 rpt + 8 rptt calls below otherwise re-derive the same
+            # Roe averages at these interfaces
+            kwd = {} if prefactor is None else {
+                "eig": prefactor(d, q_l, q_r, a_l, a_r, params)}
             amdq, apdq, cqdd = waves[d]
             # transverse_waves >= 2 with order 2: the second-order
             # correction waves ride the transverse solves too (the 2D
@@ -437,7 +453,7 @@ def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
                 coeff2 = (dt * dt) / (6.0 * deltas[d] * deltas[e])
                 for imp, asdq in ((1, amdq), (2, apdq)):
                     bm, bp = rpt(d, imp, q_l, q_r, a_l, a_r, asdq, params,
-                                 trans_axis=e)
+                                 trans_axis=e, **kwd)
                     i0 = imp - 1   # target cell offset along sweep axis
                     n_d = shape[d]
                     n_e = shape[e]
@@ -467,7 +483,7 @@ def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
                         for b_part, e_dir in ((bm, -1), (bp, 1)):
                             cm, cp = rptt(d, 2 + (f > e), imp, e_dir,
                                           q_l, q_r, a_l, a_r, b_part,
-                                          params, trans_axis=f)
+                                          params, trans_axis=f, **kwd)
                             # the b-part carries sign(v_e) but the exact
                             # corner expansion needs |v_e|: flip for the
                             # down-going (e_dir=-1) part
@@ -484,9 +500,15 @@ def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
                                     co_cs = coeff2
                                 else:   # κ-scaled, sliced like cs
                                     co_cs = _slc(co2_full, f, f_src)[None]
+                                # the scaled product is shared by the
+                                # own-row term and (slice-shifted,
+                                # negated — both exact) the crossing
+                                # term: ONE multiply, the c_part chain
+                                # has a single arithmetic consumer
+                                t = sgn * co_cs * cs
                                 # + at the part's own e-row
-                                F[f] = F[f] + _embed(sgn * co_cs * cs,
-                                                     F[f], {axis_d: i0})
+                                F[f] = F[f] + _embed(t, F[f],
+                                                     {axis_d: i0})
                                 # - at the e-row it crosses into
                                 if e_dir > 0:
                                     e_src = slice(0, n_e - 1)
@@ -494,11 +516,8 @@ def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
                                 else:
                                     e_src = slice(1, n_e)
                                     e_start = 0
-                                src_e = _slc(cs, axis_e, e_src)
-                                co_e = (co_cs if co2_full is None
-                                        else _slc(co_cs, 1 + e, e_src))
                                 F[f] = F[f] + _embed(
-                                    -sgn * co_e * src_e, F[f],
+                                    -_slc(t, axis_e, e_src), F[f],
                                     {axis_d: i0, axis_e: e_start})
 
     # ---- assemble update over cells 1..n-2 on every axis --------------
@@ -537,7 +556,8 @@ def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
 
 
 def step2_tiled(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order, fwave,
-                index_capa, num_ghost, transverse_waves=2, tile_rows=128):
+                index_capa, num_ghost, transverse_waves=2, tile_rows=128,
+                prefactor=None):
     """Row-tiled driver around :func:`step2` — same VMEM-blocking trick
     as classic/soa.py step2_soa_tiled, for the generic AoS kernel (aux,
     capacity, fwave, custom-amdq solvers).  Blocks of ``tile_rows``
@@ -553,7 +573,7 @@ def step2_tiled(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order, fwave,
     tile_rows = auto_tile(rows, tile_rows)
     if tile_rows is None:
         return step2(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order,
-                     fwave, index_capa, g, transverse_waves)
+                     fwave, index_capa, g, transverse_waves, prefactor)
     nt = rows // tile_rows
 
     def body(s):
@@ -562,7 +582,8 @@ def step2_tiled(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order, fwave,
         ablk = None if aux is None else lax.dynamic_slice(
             aux, (0, s, 0), (aux.shape[0], tile_rows + 2 * g, ny))
         return step2(blk, ablk, dt, dx, dy, rp, rpt, params, mthlim,
-                     order, fwave, index_capa, g, transverse_waves)
+                     order, fwave, index_capa, g, transverse_waves,
+                     prefactor)
 
     outs, cfls = lax.map(body, jnp.arange(nt) * tile_rows)
     q_new = jnp.moveaxis(outs, 0, 1).reshape(num_eqn, rows, ny - 2 * g)
@@ -577,17 +598,20 @@ def tiled_xy_map(fn, q, aux, num_ghost, cap):
     pencils (num_eqn, tx+2g, ty+2g, nz) small enough that the dozens of
     per-direction intermediates live in VMEM.  (x-only tiling left
     ~15 MB planes per tile whose intermediates spilled to HBM.)
-    Bit-identical stitching; returns None when the x rows don't divide
-    (caller falls back to the monolithic kernel)."""
+    ``cap`` is an int (same cap both axes) or an (x_cap, y_cap) pair —
+    asymmetric tiles trade apron-recompute fraction against per-tile
+    VMEM footprint.  Bit-identical stitching; returns None when the x
+    rows don't divide (caller falls back to the monolithic kernel)."""
     from jax import lax
 
     g = num_ghost
     num_eqn, nx, ny, nz = q.shape
     rows_x, rows_y = nx - 2 * g, ny - 2 * g
-    tx = auto_tile(rows_x, cap)
+    cap_x, cap_y = cap if isinstance(cap, (tuple, list)) else (cap, cap)
+    tx = auto_tile(rows_x, cap_x)
     if tx is None:
         return None
-    ty = auto_tile(rows_y, cap)
+    ty = auto_tile(rows_y, cap_y)
     ntx = rows_x // tx
     nty = rows_y // ty if ty is not None else 1
     ty_e = ty if ty is not None else rows_y   # y-extent per tile
@@ -616,20 +640,20 @@ def tiled_xy_map(fn, q, aux, num_ghost, cap):
 
 def step3_tiled(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim,
                 order, fwave, index_capa, num_ghost, transverse_waves=2,
-                tile_rows=12):
+                tile_rows=12, prefactor=None):
     """(x, y)-tiled driver around :func:`step3` via
     :func:`tiled_xy_map`; falls back to the monolithic step when the
     rows don't divide."""
     def body(blk, ablk):
         return step3(blk, ablk, dt, dx, dy, dz, rp, rpt, rptt, params,
                      mthlim, order, fwave, index_capa, num_ghost,
-                     transverse_waves)
+                     transverse_waves, prefactor)
 
     out = tiled_xy_map(body, q, aux, num_ghost, tile_rows)
     if out is None:
         return step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params,
                      mthlim, order, fwave, index_capa, num_ghost,
-                     transverse_waves)
+                     transverse_waves, prefactor)
     return out
 
 

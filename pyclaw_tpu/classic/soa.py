@@ -118,7 +118,7 @@ def _abs_max(s, sl):
 
 
 def step2_soa(q, dt, dx, dy, rpn_soa, rpt_soa, params, mthlim, order,
-              num_ghost, transverse_waves=2):
+              num_ghost, transverse_waves=2, prefactor_soa=None):
     """2D unsplit classic step, SoA dataflow.  Same contract as
     kernels.step2 restricted to aux=None / no capacity function:
     q (num_eqn, nx, ny) ghost-padded -> (q_interior, cfl)."""
@@ -154,8 +154,11 @@ def step2_soa(q, dt, dx, dy, rpn_soa, rpt_soa, params, mthlim, order,
             ap_x = [a - c for a, c in zip(apdqx, cqxx)]
         else:
             am_x, ap_x = amdqx, apdqx
-        bm_am, bp_am = rpt_soa(0, 1, qx_l, qx_r, tuple(am_x), params)
-        bm_ap, bp_ap = rpt_soa(0, 2, qx_l, qx_r, tuple(ap_x), params)
+        # shared per-direction eigensystem (RiemannSolver.prefactor_soa)
+        kwx = {} if prefactor_soa is None else {
+            "eig": prefactor_soa(0, qx_l, qx_r, params)}
+        bm_am, bp_am = rpt_soa(0, 1, qx_l, qx_r, tuple(am_x), params, **kwx)
+        bm_ap, bp_ap = rpt_soa(0, 2, qx_l, qx_r, tuple(ap_x), params, **kwx)
 
         # x-interface k feeds Gy rows k (A- parts) / k+1 (A+ parts);
         # below-going from source cell j>=1 -> Gy col j-1, above-going
@@ -173,8 +176,10 @@ def step2_soa(q, dt, dx, dy, rpn_soa, rpt_soa, params, mthlim, order,
             ap_y = [a - c for a, c in zip(apdqy, cqyy)]
         else:
             am_y, ap_y = amdqy, apdqy
-        am_bm, ap_bm = rpt_soa(1, 1, qy_l, qy_r, tuple(am_y), params)
-        am_bp, ap_bp = rpt_soa(1, 2, qy_l, qy_r, tuple(ap_y), params)
+        kwy = {} if prefactor_soa is None else {
+            "eig": prefactor_soa(1, qy_l, qy_r, params)}
+        am_bm, ap_bm = rpt_soa(1, 1, qy_l, qy_r, tuple(am_y), params, **kwy)
+        am_bp, ap_bp = rpt_soa(1, 2, qy_l, qy_r, tuple(ap_y), params, **kwy)
 
         half_dtdy = 0.5 * dtdy
         for e in range(num_eqn):
@@ -194,7 +199,8 @@ def step2_soa(q, dt, dx, dy, rpn_soa, rpt_soa, params, mthlim, order,
 
 
 def step2_soa_tiled(q, dt, dx, dy, rpn_soa, rpt_soa, params, mthlim, order,
-                    num_ghost, transverse_waves=2, tile_rows=128):
+                    num_ghost, transverse_waves=2, tile_rows=128,
+                    prefactor_soa=None):
     """Row-tiled driver around :func:`step2_soa` — the pure-XLA analog of
     the Pallas halo-apron kernel (ops/tiled2d.py), and the production TPU
     fast path.
@@ -222,14 +228,15 @@ def step2_soa_tiled(q, dt, dx, dy, rpn_soa, rpt_soa, params, mthlim, order,
     tile_rows = auto_tile(rows, tile_rows)
     if tile_rows is None:
         return step2_soa(q, dt, dx, dy, rpn_soa, rpt_soa, params, mthlim,
-                         order, num_ghost, transverse_waves)
+                         order, num_ghost, transverse_waves, prefactor_soa)
     nt = rows // tile_rows
 
     def body(s):
         blk = lax.dynamic_slice(q, (0, s, 0),
                                 (num_eqn, tile_rows + 2 * g, ny))
         return step2_soa(blk, dt, dx, dy, rpn_soa, rpt_soa, params,
-                         mthlim, order, num_ghost, transverse_waves)
+                         mthlim, order, num_ghost, transverse_waves,
+                         prefactor_soa)
 
     outs, cfls = lax.map(body, jnp.arange(nt) * tile_rows)
     q_new = jnp.moveaxis(outs, 0, 1).reshape(num_eqn, rows, ny - 2 * g)

@@ -256,6 +256,7 @@ class ClawSolver2D(ClawSolver):
             from . import soa
             rpn_soa = self.rp.rpn_soa
             rpt_soa = self.rp.rpt_soa
+            prefactor_soa = self.rp.prefactor_soa
 
             tile_rows = getattr(self, "soa_tile_rows", 128)
 
@@ -263,20 +264,23 @@ class ClawSolver2D(ClawSolver):
                 return soa.step2_soa_tiled(qbc, dt, dx, dy, rpn_soa,
                                            rpt_soa, params, mthlim, order,
                                            g, transverse_waves=tw,
-                                           tile_rows=tile_rows)
+                                           tile_rows=tile_rows,
+                                           prefactor_soa=prefactor_soa)
             return self._wrap_bc_kernel(kern_soa, state)
         else:
             # generic AoS kernel, row-tiled for VMEM blocking: with tiles
             # resident in VMEM, materializing the wave tensors beats the
             # SoA recompute (908M vs 835M cups at 1024^2 f32 on v5e)
             tile_rows = getattr(self, "soa_tile_rows", 128)
+            prefactor = self.rp.prefactor
 
             def kern(qbc, auxbc, dt, t):
                 return kernels.step2_tiled(qbc, auxbc, dt, dx, dy, rp,
                                            rpt, params, mthlim, order,
                                            fwave, index_capa, g,
                                            transverse_waves=tw,
-                                           tile_rows=tile_rows)
+                                           tile_rows=tile_rows,
+                                           prefactor=prefactor)
             return self._wrap_bc_kernel(kern, state)
 
     def _family(self, state):
@@ -397,11 +401,13 @@ class ClawSolver3D(ClawSolver):
 
         tw = self.transverse_waves
         tile_rows = getattr(self, "soa_tile_rows", 16)
+        prefactor = self.rp.prefactor
 
         def kern(qbc, auxbc, dt, t):
             return kernels.step3_tiled(qbc, auxbc, dt, dx, dy, dz, rp,
                                        rpt, rptt, params, mthlim, order,
                                        fwave, index_capa, g,
                                        transverse_waves=tw,
-                                       tile_rows=tile_rows)
+                                       tile_rows=tile_rows,
+                                       prefactor=prefactor)
         return self._wrap_bc_kernel(kern, state)

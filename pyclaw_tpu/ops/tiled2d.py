@@ -92,7 +92,7 @@ def step2_pallas_tiled(qbc, dt, dx, dy, rpn_soa, rpt_soa, params, mthlim,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -167,12 +167,12 @@ def step2_pallas_tiled_generic(qbc, auxbc, dt, dx, dy, rp, rpt, params,
         pl.BlockSpec(memory_space=pltpu.SMEM),
     )
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY)]
+                pl.BlockSpec(memory_space=pl.ANY)]
     scratch = [pltpu.VMEM((num_eqn, tm + 2 * g, tn + 2 * g), qbc.dtype),
                pltpu.SemaphoreType.DMA]
     args = [jnp.asarray(dt, qbc.dtype).reshape(1), qbc]
     if has_aux:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch.insert(1, pltpu.VMEM(
             (num_aux, tm + 2 * g, tn + 2 * g), auxbc.dtype))
         scratch.append(pltpu.SemaphoreType.DMA)

@@ -41,6 +41,19 @@ class RiemannSolver:
         self.rp = rp          # normal solver
         self.rpt = rpt        # transverse solver (2D/3D)
         self.rptt = rptt      # double-transverse solver (3D)
+        # optional shared-eigensystem hook: prefactor(ixy, q_l, q_r,
+        # aux_l, aux_r, params) -> opaque pytree computed ONCE per sweep
+        # direction and passed as eig= to every rpt/rptt call at those
+        # interfaces.  In 3D every one of the 12 rpt3 + 24 rptt3 calls
+        # per step otherwise re-derives the identical Roe averages
+        # (sqrt/divide-heavy); hoisting them is the dominant flop diet of
+        # the transverse section.  Solvers defining prefactor MUST accept
+        # eig=None in rpt/rptt and reproduce the exact same expressions
+        # when it is given (bitwise-identical hoisting, not a numerical
+        # change).  prefactor_soa(ixy, qs_l, qs_r, params) is the SoA
+        # variant for rpt_soa.
+        self.prefactor = None
+        self.prefactor_soa = None
         self.evec = None      # eigenvector hook for char_decomp (evec.f90)
         # SoA fast-path variants (classic/soa.py protocol); optional —
         # solvers without them run the generic AoS kernels

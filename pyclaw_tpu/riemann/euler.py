@@ -312,13 +312,22 @@ def _rpn2_euler_5wave_soa(ixy, q_l, q_r, params):
     return _rpn2_euler_soa(ixy, q_l, q_r, params, tracer=True)
 
 
-def _rpt2_euler_soa(ixy, imp, q_l, q_r, asdq, params):
+def _prefactor_euler_2d_soa(ixy, qs_l, qs_r, params):
+    """SoA variant of _prefactor_euler_2d (RiemannSolver.prefactor_soa)."""
+    mu, mv = 1 + ixy, 2 - ixy
+    return _roe_averages_soa(qs_l, qs_r, params["gamma"], mu, mv)
+
+
+def _rpt2_euler_soa(ixy, imp, q_l, q_r, asdq, params, eig=None):
     """rpt2_euler in SoA form: same eigen-algebra as _rpt2_euler."""
     gamma = params["gamma"]
     g1 = gamma - 1.0
     mu = 1 + ixy
     mv = 2 - ixy
-    u, v, H, a2, a = _roe_averages_soa(q_l, q_r, gamma, mu, mv)
+    if eig is None:
+        u, v, H, a2, a = _roe_averages_soa(q_l, q_r, gamma, mu, mv)
+    else:
+        u, v, H, a2, a = eig
 
     d0, dmu, dmv, dE = asdq[0], asdq[mu], asdq[mv], asdq[3]
     euv = H - (u * u + v * v)
@@ -365,17 +374,31 @@ def _rpt2_euler_soa(ixy, imp, q_l, q_r, asdq, params):
     return tuple(bm), tuple(bp)
 
 
-def _rpt2_euler(ixy, imp, q_l, q_r, aux_l, aux_r, asdq, params):
+def _prefactor_euler_2d(ixy, q_l, q_r, aux_l, aux_r, params):
+    """Shared per-direction eigensystem for the 2D transverse solves
+    (RiemannSolver.prefactor hook): the Roe averages both rpt2 calls
+    (imp=1,2) at the same interfaces would otherwise each re-derive."""
+    mu, mv = 1 + ixy, 2 - ixy
+    (u, v), H, a, a2, _ = _roe_averages(q_l, q_r, params["gamma"], (mu, mv))
+    return (u, v, H, a, a2)
+
+
+def _rpt2_euler(ixy, imp, q_l, q_r, aux_l, aux_r, asdq, params, eig=None):
     """Transverse Roe solve (rpt2_euler.f90): split asdq into up/down-going
     parts using the eigenstructure of the transverse-direction Jacobian at
-    the Roe average of (q_l, q_r)."""
+    the Roe average of (q_l, q_r).  ``eig`` (from _prefactor_euler_2d)
+    supplies the Roe averages precomputed once per sweep direction —
+    identical expressions, hoisted."""
     gamma = params["gamma"]
     g1 = gamma - 1.0
     mu = 1 + ixy          # normal component of the ORIGINAL sweep
     mv = 2 - ixy          # transverse component (the direction of this split)
     E = 3
 
-    (u, v), H, a, a2, _ = _roe_averages(q_l, q_r, gamma, (mu, mv))
+    if eig is None:
+        (u, v), H, a, a2, _ = _roe_averages(q_l, q_r, gamma, (mu, mv))
+    else:
+        u, v, H, a, a2 = eig
     # In the transverse direction the roles swap: propagation speed is v.
     d0, dmu, dmv, dE = asdq[0], asdq[mu], asdq[mv], asdq[E]
 
@@ -472,19 +495,37 @@ def _rpn3_euler(ixy, q_l, q_r, aux_l, aux_r, params):
     return wave, s, amdq, apdq
 
 
+def _prefactor_euler_3d(ixy, q_l, q_r, aux_l, aux_r, params):
+    """Shared per-direction eigensystem for the 3D transverse solves
+    (RiemannSolver.prefactor hook).  All 4 rpt3 and 8 rptt3 calls per
+    sweep direction evaluate the transverse eigen-decomposition at the
+    SAME Roe average of (q_l, q_r); computing it once here removes 11/12
+    of the sqrt/divide-heavy average derivations from the hot 3D step.
+    Expressions match _split_transverse_euler's own exactly (fixed
+    component order (1,2,3)) so hoisting is bitwise-neutral."""
+    (u1, u2, u3), H, a, a2, _ = _roe_averages(q_l, q_r, params["gamma"],
+                                              (1, 2, 3))
+    ke = 0.5 * (u1 * u1 + u2 * u2 + u3 * u3)
+    return ((u1, u2, u3), H, a, a2, ke)
+
+
 def _split_transverse_euler(vel_comp, q_l, q_r, aux_l, aux_r, asdq, params,
-                            normal_comp):
+                            normal_comp, eig=None):
     """Generic transverse split for 3D Euler in direction `vel_comp`
     (1=u,2=v,3=w momentum row): Roe-average eigen-decomposition of asdq in
-    that direction."""
+    that direction.  ``eig`` (from _prefactor_euler_3d) supplies the Roe
+    averages precomputed once per sweep direction."""
     gamma = params["gamma"]
     g1 = gamma - 1.0
     E = 4
     vel_idx = (1, 2, 3)
-    (u1, u2, u3), H, a, a2, _ = _roe_averages(q_l, q_r, gamma, vel_idx)
+    if eig is None:
+        (u1, u2, u3), H, a, a2, _ = _roe_averages(q_l, q_r, gamma, vel_idx)
+        ke = 0.5 * (u1 * u1 + u2 * u2 + u3 * u3)
+    else:
+        (u1, u2, u3), H, a, a2, ke = eig
     vels = {1: u1, 2: u2, 3: u3}
     vt = vels[vel_comp]                 # propagation speed direction
-    ke = 0.5 * (u1 * u1 + u2 * u2 + u3 * u3)
 
     d0 = asdq[0]
     dE = asdq[E]
@@ -538,19 +579,19 @@ def _split_transverse_euler(vel_comp, q_l, q_r, aux_l, aux_r, asdq, params,
 
 
 def _rpt3_euler(ixy, imp, q_l, q_r, aux_l, aux_r, asdq, params,
-                trans_axis=None):
+                trans_axis=None, eig=None):
     if trans_axis is None:
         trans_axis = (ixy + 1) % 3
     return _split_transverse_euler(1 + trans_axis, q_l, q_r, aux_l, aux_r,
-                                   asdq, params, 1 + ixy)
+                                   asdq, params, 1 + ixy, eig=eig)
 
 
 def _rptt3_euler(ixy, icoor, imp, impt, q_l, q_r, aux_l, aux_r, bsasdq,
-                 params, trans_axis=None):
+                 params, trans_axis=None, eig=None):
     if trans_axis is None:
         trans_axis = (ixy + 2) % 3
     return _split_transverse_euler(1 + trans_axis, q_l, q_r, aux_l, aux_r,
-                                   bsasdq, params, 1 + ixy)
+                                   bsasdq, params, 1 + ixy, eig=eig)
 
 
 def _evec_euler_1d(ixy, q, aux, params):
@@ -706,14 +747,19 @@ euler_4wave_2D = RiemannSolver("euler_4wave_2D", 2, 4, 4,
                                requires=("gamma",))
 euler_4wave_2D.rpn_soa = _rpn2_euler_4wave_soa
 euler_4wave_2D.rpt_soa = _rpt2_euler_soa
+euler_4wave_2D.prefactor = _prefactor_euler_2d
+euler_4wave_2D.prefactor_soa = _prefactor_euler_2d_soa
 euler_5wave_2D = RiemannSolver("euler_5wave_2D", 2, 5, 5,
                                _rpn2_euler_5wave, rpt=_rpt2_euler,
                                requires=("gamma",))
 euler_5wave_2D.rpn_soa = _rpn2_euler_5wave_soa
 euler_5wave_2D.rpt_soa = _rpt2_euler_soa
+euler_5wave_2D.prefactor = _prefactor_euler_2d
+euler_5wave_2D.prefactor_soa = _prefactor_euler_2d_soa
 euler_3D = RiemannSolver("euler_3D", 3, 5, 5, _rpn3_euler,
                          rpt=_rpt3_euler, rptt=_rptt3_euler,
                          requires=("gamma",))
+euler_3D.prefactor = _prefactor_euler_3d
 
 euler_hlle_1D.positivity = _make_euler_positivity((1,), 2)
 euler_4wave_2D.positivity = _make_euler_positivity((1, 2), 3)

@@ -276,9 +276,13 @@ class SharpClawSolver(Solver):
                     d, c = dq(s1_, aux, dt, t + (i + off) * dt / 6.0)
                     return s1_ + d / 6.0, jnp.maximum(cfl_, c)
 
+                # the initial CFL carry must be a function of q: inside
+                # shard_map the per-stage CFL is device-varying, and a
+                # replicated literal zero would mismatch the loop-carry
+                # varying-axes type (serial runs see a plain 0.0)
+                cfl0 = q.ravel()[0] * 0.0
                 s1, cfl = lax.fori_loop(
-                    0, 5, lambda i, c: body(i, c, 0),
-                    (q, jnp.zeros((), q.dtype)))
+                    0, 5, lambda i, c: body(i, c, 0), (q, cfl0))
                 s2 = q / 25.0 + (9.0 / 25.0) * s1
                 s1 = 15.0 * s2 - 5.0 * s1
                 s1, cfl = lax.fori_loop(
