@@ -366,7 +366,8 @@ def _slc(a, axis, sl):
 
 
 def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
-          fwave, index_capa, num_ghost, transverse_waves=2, prefactor=None):
+          fwave, index_capa, num_ghost, transverse_waves=2, prefactor=None,
+          batch_transverse=False):
     """3D unsplit classic step (step3.f90 + flux3.f90 equivalent).
 
     Normal sweeps + limited corrections in x/y/z, transverse corner
@@ -451,9 +452,32 @@ def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
                 axis_f = 1 + f
                 n_f = shape[f]
                 coeff2 = (dt * dt) / (6.0 * deltas[d] * deltas[e])
-                for imp, asdq in ((1, amdq), (2, apdq)):
-                    bm, bp = rpt(d, imp, q_l, q_r, a_l, a_r, asdq, params,
-                                 trans_axis=e, **kwd)
+                if batch_transverse:
+                    # both imp splits in ONE rpt call and all four
+                    # b-parts in ONE rptt call: the splits are linear in
+                    # asdq (transverse_batchable contract), so stacking
+                    # on a post-equation batch axis yields bitwise the
+                    # per-call values while cutting the number of
+                    # distinct VPU op chains 2-4x
+                    asdq_b = jnp.stack([amdq, apdq], axis=1)
+                    bm_b, bp_b = rpt(d, 0, q_l, q_r, a_l, a_r, asdq_b,
+                                     params, trans_axis=e, **kwd)
+                    if rptt is not None and transverse_waves >= 2:
+                        b_all = jnp.stack(
+                            [bm_b[:, 0], bp_b[:, 0], bm_b[:, 1],
+                             bp_b[:, 1]], axis=1)
+                        cm_b, cp_b = rptt(d, 2 + (f > e), 0, 0, q_l, q_r,
+                                          a_l, a_r, b_all, params,
+                                          trans_axis=f, **kwd)
+                own = {}     # i0 -> summed own-row rptt blocks
+                cross = {}   # (i0, e_start) -> summed crossing blocks
+                for imp in (1, 2):
+                    if batch_transverse:
+                        bm, bp = bm_b[:, imp - 1], bp_b[:, imp - 1]
+                    else:
+                        asdq = amdq if imp == 1 else apdq
+                        bm, bp = rpt(d, imp, q_l, q_r, a_l, a_r, asdq,
+                                     params, trans_axis=e, **kwd)
                     i0 = imp - 1   # target cell offset along sweep axis
                     n_d = shape[d]
                     n_e = shape[e]
@@ -479,11 +503,26 @@ def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
                     # f-flux carries the (1 - S^-_e) difference that the
                     # exact corner-transport expansion requires (verified
                     # against the product-form advection oracle).
+                    # Contributions sharing the same embed offsets are
+                    # summed in BLOCK space and padded into F[f] once
+                    # per offset signature: the profiler showed the
+                    # per-contribution pad+add chains (lowered to
+                    # dynamic-update-slice fusions) costing 40% of the
+                    # 192^3 step; grouping cuts those full-array writes
+                    # from 16 to 6 per (d, e) pair.  Summation order is
+                    # fixed and identical on every path (roundoff-level
+                    # regrouping vs r3; decomposition invariance and the
+                    # 1e-13 CTU oracle still hold).
                     if rptt is not None and transverse_waves >= 2:
-                        for b_part, e_dir in ((bm, -1), (bp, 1)):
-                            cm, cp = rptt(d, 2 + (f > e), imp, e_dir,
-                                          q_l, q_r, a_l, a_r, b_part,
-                                          params, trans_axis=f, **kwd)
+                        for k_b, (b_part, e_dir) in enumerate(
+                                ((bm, -1), (bp, 1))):
+                            if batch_transverse:
+                                idx = 2 * (imp - 1) + k_b
+                                cm, cp = cm_b[:, idx], cp_b[:, idx]
+                            else:
+                                cm, cp = rptt(d, 2 + (f > e), imp, e_dir,
+                                              q_l, q_r, a_l, a_r, b_part,
+                                              params, trans_axis=f, **kwd)
                             # the b-part carries sign(v_e) but the exact
                             # corner expansion needs |v_e|: flip for the
                             # down-going (e_dir=-1) part
@@ -507,8 +546,8 @@ def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
                                 # has a single arithmetic consumer
                                 t = sgn * co_cs * cs
                                 # + at the part's own e-row
-                                F[f] = F[f] + _embed(t, F[f],
-                                                     {axis_d: i0})
+                                own[i0] = (t if i0 not in own
+                                           else own[i0] + t)
                                 # - at the e-row it crosses into
                                 if e_dir > 0:
                                     e_src = slice(0, n_e - 1)
@@ -516,9 +555,16 @@ def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
                                 else:
                                     e_src = slice(1, n_e)
                                     e_start = 0
-                                F[f] = F[f] + _embed(
-                                    -_slc(t, axis_e, e_src), F[f],
-                                    {axis_d: i0, axis_e: e_start})
+                                blk = -_slc(t, axis_e, e_src)
+                                key = (i0, e_start)
+                                cross[key] = (blk if key not in cross
+                                              else cross[key] + blk)
+                # one padded add into F[f] per distinct embed offset
+                for i0 in sorted(own):
+                    F[f] = F[f] + _embed(own[i0], F[f], {axis_d: i0})
+                for i0, e_start in sorted(cross):
+                    F[f] = F[f] + _embed(cross[(i0, e_start)], F[f],
+                                         {axis_d: i0, axis_e: e_start})
 
     # ---- assemble update over cells 1..n-2 on every axis --------------
     def inner_cells(a):
@@ -640,20 +686,20 @@ def tiled_xy_map(fn, q, aux, num_ghost, cap):
 
 def step3_tiled(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim,
                 order, fwave, index_capa, num_ghost, transverse_waves=2,
-                tile_rows=12, prefactor=None):
+                tile_rows=12, prefactor=None, batch_transverse=False):
     """(x, y)-tiled driver around :func:`step3` via
     :func:`tiled_xy_map`; falls back to the monolithic step when the
     rows don't divide."""
     def body(blk, ablk):
         return step3(blk, ablk, dt, dx, dy, dz, rp, rpt, rptt, params,
                      mthlim, order, fwave, index_capa, num_ghost,
-                     transverse_waves, prefactor)
+                     transverse_waves, prefactor, batch_transverse)
 
     out = tiled_xy_map(body, q, aux, num_ghost, tile_rows)
     if out is None:
         return step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params,
                      mthlim, order, fwave, index_capa, num_ghost,
-                     transverse_waves, prefactor)
+                     transverse_waves, prefactor, batch_transverse)
     return out
 
 

@@ -9,7 +9,8 @@ correction flux, fluctuation sums), dominating step time.  Here every
 wave component stays an independent 2D ``(nx, ny)`` value inside one
 fused elementwise chain: XLA recomputes the cheap Roe algebra per
 consumer instead of spilling 67 MB tensors (measured ~1.9x on the
-x-sweep alone, tools/proto_soa.py).
+x-sweep alone by a round-2 prototype harness; the production-step
+numbers in docs/performance.md supersede it).
 
 Protocol (per Riemann solver, attached to the registry record):
 

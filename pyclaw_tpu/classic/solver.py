@@ -402,6 +402,11 @@ class ClawSolver3D(ClawSolver):
         tw = self.transverse_waves
         tile_rows = getattr(self, "soa_tile_rows", 16)
         prefactor = self.rp.prefactor
+        # measured on-chip (r4): stacking the asdq batches REGRESSED the
+        # 192^3 step 63.5 -> 53.4 M cups (the stacks materialize); off by
+        # default, kept as a tuning knob for other device generations
+        batch = (getattr(self, "batch_transverse", False)
+                 and self.rp.transverse_batchable)
 
         def kern(qbc, auxbc, dt, t):
             return kernels.step3_tiled(qbc, auxbc, dt, dx, dy, dz, rp,
@@ -409,5 +414,6 @@ class ClawSolver3D(ClawSolver):
                                        fwave, index_capa, g,
                                        transverse_waves=tw,
                                        tile_rows=tile_rows,
-                                       prefactor=prefactor)
+                                       prefactor=prefactor,
+                                       batch_transverse=batch)
         return self._wrap_bc_kernel(kern, state)

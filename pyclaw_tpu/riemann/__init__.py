@@ -54,6 +54,13 @@ class RiemannSolver:
         # variant for rpt_soa.
         self.prefactor = None
         self.prefactor_soa = None
+        # True when rpt/rptt are imp-independent pure linear maps of
+        # asdq (q_l/q_r enter only through the eigensystem): the 3D
+        # kernel may then stack several asdq inputs on a batch axis
+        # after the equation axis and make ONE call per (sweep,
+        # transverse-axis) pair — fewer, larger VPU op chains, values
+        # bitwise identical per element.
+        self.transverse_batchable = False
         self.evec = None      # eigenvector hook for char_decomp (evec.f90)
         # SoA fast-path variants (classic/soa.py protocol); optional —
         # solvers without them run the generic AoS kernels

@@ -553,22 +553,23 @@ def _split_transverse_euler(vel_comp, q_l, q_r, aux_l, aux_r, asdq, params,
     mom1 = {i: b1 * vels[i] for i in vel_idx}
     mom1[vel_comp] = b1 * (vt - a)
     w1 = mk(b1, mom1, b1 * (H - vt * a))
-    # entropy
-    mom2 = {i: b3 * vels[i] for i in vel_idx}
-    w2 = mk(b3, mom2, b3 * ke)
-    # shears
-    shear_waves = []
-    for i in shear_comps:
-        momS = {j: z for j in vel_idx}
-        momS[i] = bsh[i]
-        shear_waves.append(mk(z, momS, bsh[i] * vels[i]))
+    # entropy + both shear waves share speed vt: build their SUM as one
+    # wave (3 distinct speeds instead of 5 accumulation terms — ~35%
+    # fewer min/mult/add in the split, the dominant arithmetic of the
+    # 36-splits-per-cell 3D transverse section; roundoff-level
+    # regrouping relative to the separate-wave form)
+    momm = {i: b3 * vels[i] + bsh[i] for i in shear_comps}
+    momm[vel_comp] = b3 * vt
+    wmid = mk(b3, momm,
+              b3 * ke + bsh[shear_comps[0]] * vels[shear_comps[0]]
+              + bsh[shear_comps[1]] * vels[shear_comps[1]])
     # acoustic up
     mom5 = {i: b5 * vels[i] for i in vel_idx}
     mom5[vel_comp] = b5 * (vt + a)
     w5 = mk(b5, mom5, b5 * (H + vt * a))
 
-    waves = [w1, w2] + shear_waves + [w5]
-    speeds = [vt - a, vt, vt, vt, vt + a]
+    waves = [w1, wmid, w5]
+    speeds = [vt - a, vt, vt + a]
 
     bm = jnp.zeros_like(asdq)
     bp = jnp.zeros_like(asdq)
@@ -760,6 +761,9 @@ euler_3D = RiemannSolver("euler_3D", 3, 5, 5, _rpn3_euler,
                          rpt=_rpt3_euler, rptt=_rptt3_euler,
                          requires=("gamma",))
 euler_3D.prefactor = _prefactor_euler_3d
+# rpt3/rptt3 ignore imp/icoor and are linear in asdq with broadcasting
+# algebra -> eligible for the kernel's batched transverse path
+euler_3D.transverse_batchable = True
 
 euler_hlle_1D.positivity = _make_euler_positivity((1,), 2)
 euler_4wave_2D.positivity = _make_euler_positivity((1, 2), 3)
