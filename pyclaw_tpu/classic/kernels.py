@@ -471,6 +471,7 @@ def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
                                           trans_axis=f, **kwd)
                 own = {}     # i0 -> summed own-row rptt blocks
                 cross = {}   # (i0, e_start) -> summed crossing blocks
+                fe_acc = None   # summed padded rpt blocks for F[e]
                 for imp in (1, 2):
                     if batch_transverse:
                         bm, bp = bm_b[:, imp - 1], bp_b[:, imp - 1]
@@ -493,8 +494,9 @@ def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
                         c_bm = 0.5 * _slc(dd, e, slice(1, n_e))[None]
                         c_bp = 0.5 * _slc(dd, e, slice(0, n_e - 1))[None]
                         co2_full = (dt / (6.0 * deltas[e])) * dd
-                    F[e] = F[e] + _embed(-(c_bm * bm_s + c_bp * bp_s),
-                                         F[e], {axis_d: i0})
+                    pe = _embed(-(c_bm * bm_s + c_bp * bp_s),
+                                F[e], {axis_d: i0})
+                    fe_acc = pe if fe_acc is None else fe_acc + pe
 
                     # ---- double-transverse (rptt3): corner-of-corner
                     # corrections into the third axis' fluxes.  Each
@@ -559,12 +561,22 @@ def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
                                 key = (i0, e_start)
                                 cross[key] = (blk if key not in cross
                                               else cross[key] + blk)
-                # one padded add into F[f] per distinct embed offset
+                # sum the padded blocks FIRST, then ONE add per flux
+                # array: each separate F = F + embed(...) statement
+                # lowers to its own full-array dynamic-update-slice
+                # write; the summed form gives XLA one output pass per
+                # (d, e) pair
+                acc = None
                 for i0 in sorted(own):
-                    F[f] = F[f] + _embed(own[i0], F[f], {axis_d: i0})
+                    p = _embed(own[i0], F[f], {axis_d: i0})
+                    acc = p if acc is None else acc + p
                 for i0, e_start in sorted(cross):
-                    F[f] = F[f] + _embed(cross[(i0, e_start)], F[f],
-                                         {axis_d: i0, axis_e: e_start})
+                    acc = acc + _embed(cross[(i0, e_start)], F[f],
+                                       {axis_d: i0, axis_e: e_start})
+                if acc is not None:
+                    F[f] = F[f] + acc
+                if fe_acc is not None:
+                    F[e] = F[e] + fe_acc
 
     # ---- assemble update over cells 1..n-2 on every axis --------------
     def inner_cells(a):

@@ -83,6 +83,37 @@ def test_step3_tiled_matches_monolithic():
     assert abs(c_t - c_u) < 1e-14
 
 
+def test_step3_asymmetric_tile_matches_monolithic():
+    """(x_cap, y_cap) pairs stitch bit-identically (the production 3D
+    tile is asymmetric after the r4 on-chip scans)."""
+    q_t, c_t = _step3((8, 4))
+    q_u, c_u = _step3(0)
+    np.testing.assert_allclose(q_t, q_u, atol=1e-14)
+    assert abs(c_t - c_u) < 1e-14
+
+
+def test_step3_batched_transverse_bitwise():
+    """solver.batch_transverse=True stacks all asdq splits per sweep
+    direction; values must be bitwise the unbatched path's."""
+    from pyclaw_tpu.classic import kernels
+
+    rp = riemann.euler_3D
+    rng = np.random.default_rng(7)
+    q = np.ones((5, 12, 12, 12))
+    q[0] = 1.0 + 0.1 * rng.random((12, 12, 12))
+    q[1:4] = 0.2 * rng.random((3, 12, 12, 12))
+    q[4] = 2.5 + 0.2 * rng.random((12, 12, 12))
+    qj = jnp.asarray(q)
+    params = {"gamma": 1.4}
+    args = (None, 1e-3, 0.1, 0.1, 0.1, rp.rp, rp.rpt, rp.rptt, params,
+            (1,) * 5, 2, False, -1, 2)
+    q0, c0 = kernels.step3(qj, *args, transverse_waves=2,
+                           prefactor=rp.prefactor, batch_transverse=False)
+    q1, c1 = kernels.step3(qj, *args, transverse_waves=2,
+                           prefactor=rp.prefactor, batch_transverse=True)
+    assert bool(jnp.all(q0 == q1)) and bool(c0 == c1)
+
+
 def _sharpclaw_generic(tile):
     """Full SharpClaw step through the generic dq_nd path (char_decomp
     forces off the SoA fast path); the step wraps the tiled/monolithic
