@@ -365,25 +365,14 @@ def _slc(a, axis, sl):
     return a[tuple(idx)]
 
 
-def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
-          fwave, index_capa, num_ghost, transverse_waves=2, prefactor=None,
-          batch_transverse=False):
-    """3D unsplit classic step (step3.f90 + flux3.f90 equivalent).
-
-    Normal sweeps + limited corrections in x/y/z, transverse corner
-    transport (every directional fluctuation A±dq is rpt3-split into
-    up/down-going parts along each of the two transverse axes, modifying
-    the orthogonal correction fluxes), and the reference's
-    double-transverse (rptt3) corner-of-corner corrections — the full
-    Langseth–LeVeque unsplit CTU scheme, stable to CFL 1 (pinned exactly
-    by the product-form advection oracle, tests/test_ctu_exact.py).
-
-    q: (num_eqn, nx, ny, nz) ghost-padded.  Returns (q_interior, cfl).
-    """
+def _step3_sweeps(q, aux, dt, deltas, rp, params, mthlim, order, fwave,
+                  index_capa, num_ghost):
+    """Normal sweeps of the 3D step: per-direction fluctuations and
+    limited corrections, plus the CFL reduction over interior
+    interfaces.  Returns (waves, dtdx_cells, capa, cfl) with
+    waves[d] = (amdq, apdq, cqxx)."""
     g = num_ghost
-    num_eqn = q.shape[0]
     shape = q.shape[1:]
-    deltas = (dx, dy, dz)
 
     capa = aux[index_capa] if index_capa >= 0 else None
     dtdx_cells = []
@@ -415,6 +404,44 @@ def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
                 dt_l = _slc(dt_l, d2, slice(g, shape[d2] - g))
         c = jnp.max(jnp.maximum(s_int * dt_r, -s_int * dt_l))
         cfl = c if cfl is None else jnp.maximum(cfl, c)
+    return waves, dtdx_cells, capa, cfl
+
+
+def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
+          fwave, index_capa, num_ghost, transverse_waves=2, prefactor=None,
+          batch_transverse=False):
+    """3D unsplit classic step (step3.f90 + flux3.f90 equivalent).
+
+    Normal sweeps + limited corrections in x/y/z, transverse corner
+    transport (every directional fluctuation A±dq is rpt3-split into
+    up/down-going parts along each of the two transverse axes, modifying
+    the orthogonal correction fluxes), and the reference's
+    double-transverse (rptt3) corner-of-corner corrections — the full
+    Langseth–LeVeque unsplit CTU scheme, stable to CFL 1 (pinned exactly
+    by the product-form advection oracle, tests/test_ctu_exact.py).
+
+    q: (num_eqn, nx, ny, nz) ghost-padded.  Returns (q_interior, cfl).
+    """
+    deltas = (dx, dy, dz)
+    waves, dtdx_cells, capa, cfl = _step3_sweeps(
+        q, aux, dt, deltas, rp, params, mthlim, order, fwave, index_capa,
+        num_ghost)
+    q_new = _step3_update(q, aux, waves, dtdx_cells, capa, dt, deltas,
+                          rpt, rptt, params, num_ghost, transverse_waves,
+                          prefactor, batch_transverse)
+    return q_new, cfl
+
+
+def _step3_update(q, aux, waves, dtdx_cells, capa, dt, deltas, rpt, rptt,
+                  params, num_ghost, transverse_waves=2, prefactor=None,
+                  batch_transverse=False):
+    """Transverse corner transport + assembly of the 3D step, consuming
+    the per-direction fluctuations from :func:`_step3_sweeps`.  All
+    stencils here reach at most one cell, so a tiled driver can feed it
+    PRE-SLICED waves (the phased form, :func:`step3_phased`) and get
+    bitwise the fused result."""
+    g = num_ghost
+    shape = q.shape[1:]
 
     # correction-flux arrays per axis (at that axis' interfaces)
     F = {}
@@ -610,7 +637,7 @@ def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
     out = q_new
     for d in range(3):
         out = _slc(out, 1 + d, slice(g - 1, out.shape[1 + d] - (g - 1)))
-    return out, cfl
+    return out
 
 
 def step2_tiled(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order, fwave,
@@ -713,6 +740,85 @@ def step3_tiled(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim,
                      mthlim, order, fwave, index_capa, num_ghost,
                      transverse_waves, prefactor, batch_transverse)
     return out
+
+
+def step3_phased(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim,
+                 order, fwave, index_capa, num_ghost, transverse_waves=2,
+                 tile_rows=12, prefactor=None, batch_transverse=False):
+    """Phased 3D step: the normal sweeps (_step3_sweeps) run ONCE over
+    the full grid — their fluctuation/correction arrays materialize to
+    HBM — and only the transverse+assembly half (_step3_update) runs
+    under the (x, y) tile loop, reading PRE-SLICED slabs of those
+    arrays.  Eliminates the normal-sweep share of the tile apron
+    recompute (the fused tile recomputes every sweep in a 2-ghost apron,
+    a 1.78x factor at the (12,12) tile) at the price of ~12 full-grid
+    array materializations.  Matches step3/step3_tiled to roundoff (the
+    update's stencils reach at most one cell, so slabs of the full-grid
+    arrays carry the same values the fused tile recomputes; XLA's
+    per-graph fusion differences leave ~1-ulp residue, same as the
+    tiled-vs-monolithic contract).  Falls back to the fused step when
+    the rows don't divide."""
+    from jax import lax
+
+    g = num_ghost
+    num_eqn, nx, ny, nz = q.shape
+    rows_x, rows_y = nx - 2 * g, ny - 2 * g
+    cap = tile_rows
+    cap_x, cap_y = cap if isinstance(cap, (tuple, list)) else (cap, cap)
+    tx = auto_tile(rows_x, cap_x)
+    ty = auto_tile(rows_y, cap_y)
+    if tx is None:
+        return step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params,
+                     mthlim, order, fwave, index_capa, num_ghost,
+                     transverse_waves, prefactor, batch_transverse)
+    ntx = rows_x // tx
+    nty = rows_y // ty if ty is not None else 1
+    ty_e = ty if ty is not None else rows_y
+
+    deltas = (dx, dy, dz)
+    waves, dtdx_cells, capa, cfl = _step3_sweeps(
+        q, aux, dt, deltas, rp, params, mthlim, order, fwave, index_capa, g)
+
+    def slab4(a, sx, sy, iax=None):
+        """Tile slab of a (ne, nx', ny', nz') array whose spatial axis
+        ``iax`` (0/1/2 or None) is an interface axis (extent n-1)."""
+        sizes = (a.shape[0],
+                 tx + 2 * g - (1 if iax == 0 else 0),
+                 ty_e + 2 * g - (1 if iax == 1 else 0),
+                 a.shape[3])
+        return lax.dynamic_slice(a, (0, sx, sy, 0), sizes)
+
+    def slab3(a, sx, sy):
+        sizes = (tx + 2 * g, ty_e + 2 * g, a.shape[2])
+        return lax.dynamic_slice(a, (sx, sy, 0), sizes)
+
+    starts = jnp.stack(
+        [jnp.repeat(jnp.arange(ntx) * tx, nty),
+         jnp.tile(jnp.arange(nty) * (ty or 0), ntx)], axis=1)
+
+    def body(se):
+        sx, sy = se[0], se[1]
+        q_s = slab4(q, sx, sy)
+        aux_s = None if aux is None else slab4(aux, sx, sy)
+        waves_s = {}
+        for d in range(3):
+            amdq, apdq, cqxx = waves[d]
+            waves_s[d] = (slab4(amdq, sx, sy, iax=d),
+                          slab4(apdq, sx, sy, iax=d),
+                          None if cqxx is None
+                          else slab4(cqxx, sx, sy, iax=d))
+        dtdx_s = [slab3(dc, sx, sy) for dc in dtdx_cells]
+        capa_s = None if capa is None else slab3(capa, sx, sy)
+        return _step3_update(q_s, aux_s, waves_s, dtdx_s, capa_s, dt,
+                             deltas, rpt, rptt, params, g,
+                             transverse_waves, prefactor, batch_transverse)
+
+    outs = lax.map(body, starts)
+    nzi = nz - 2 * g
+    out = outs.reshape(ntx, nty, num_eqn, tx, ty_e, nzi)
+    out = jnp.transpose(out, (2, 0, 3, 1, 4, 5)).reshape(
+        num_eqn, rows_x, rows_y, nzi)
+    return out, cfl
 
 
 def auto_tile(rows, cap):

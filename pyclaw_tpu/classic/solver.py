@@ -407,13 +407,19 @@ class ClawSolver3D(ClawSolver):
         # default, kept as a tuning knob for other device generations
         batch = (getattr(self, "batch_transverse", False)
                  and self.rp.transverse_batchable)
+        # 'fused' = whole step per tile (normal sweeps recomputed in the
+        # tile apron); 'phased' = normal sweeps once over the full grid,
+        # only transverse+assembly tiled (kernels.step3_phased)
+        impl = getattr(self, "step3_impl", "fused")
+        step3_fn = (kernels.step3_phased if impl == "phased"
+                    else kernels.step3_tiled)
 
         def kern(qbc, auxbc, dt, t):
-            return kernels.step3_tiled(qbc, auxbc, dt, dx, dy, dz, rp,
-                                       rpt, rptt, params, mthlim, order,
-                                       fwave, index_capa, g,
-                                       transverse_waves=tw,
-                                       tile_rows=tile_rows,
-                                       prefactor=prefactor,
-                                       batch_transverse=batch)
+            return step3_fn(qbc, auxbc, dt, dx, dy, dz, rp,
+                            rpt, rptt, params, mthlim, order,
+                            fwave, index_capa, g,
+                            transverse_waves=tw,
+                            tile_rows=tile_rows,
+                            prefactor=prefactor,
+                            batch_transverse=batch)
         return self._wrap_bc_kernel(kern, state)

@@ -92,6 +92,30 @@ def test_step3_asymmetric_tile_matches_monolithic():
     assert abs(c_t - c_u) < 1e-14
 
 
+def test_step3_phased_matches_tiled():
+    """step3_phased (normal sweeps hoisted out of the tile loop) must
+    match the fused tiled step to roundoff — same contract as
+    tiled-vs-monolithic."""
+    from pyclaw_tpu.classic import kernels
+
+    rp = riemann.euler_3D
+    rng = np.random.default_rng(3)
+    q = np.ones((5, 20, 20, 20))
+    q[0] = 1.0 + 0.1 * rng.random((20, 20, 20))
+    q[1:4] = 0.2 * rng.random((3, 20, 20, 20))
+    q[4] = 2.5 + 0.2 * rng.random((20, 20, 20))
+    qj = jnp.asarray(q)
+    params = {"gamma": 1.4}
+    args = (None, 1e-3, 0.1, 0.1, 0.1, rp.rp, rp.rpt, rp.rptt, params,
+            (1,) * 5, 2, False, -1, 2)
+    qt, ct = kernels.step3_tiled(qj, *args, transverse_waves=2,
+                                 tile_rows=4, prefactor=rp.prefactor)
+    qp, cp = kernels.step3_phased(qj, *args, transverse_waves=2,
+                                  tile_rows=(8, 4), prefactor=rp.prefactor)
+    np.testing.assert_allclose(np.asarray(qp), np.asarray(qt), atol=1e-14)
+    assert abs(float(ct) - float(cp)) < 1e-14
+
+
 def test_step3_batched_transverse_bitwise():
     """solver.batch_transverse=True stacks all asdq splits per sweep
     direction; values must be bitwise the unbatched path's."""

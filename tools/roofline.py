@@ -29,13 +29,25 @@ import sys
 import time
 
 
-def _diff_time(run_n, n0, n1, reps=3):
+def _diff_time(run_n, n0, n1, reps=4):
     """Best-of-reps differenced wall time between chains of n1 and n0
-    iterations; run_n(n) must force completion via a host readback."""
+    iterations; run_n(n) must force completion via a host readback.
+    Guarded against a non-positive difference (readback jitter through
+    the tunnel can exceed a short chain): retries with more reps, then
+    with a doubled long chain, and raises rather than returning garbage
+    (a negative VPU 'peak' poisoned one round-4 roofline run)."""
     run_n(n0)                       # compile + warm
-    t_small = min(_one(run_n, n0) for _ in range(reps))
-    t_big = min(_one(run_n, n1) for _ in range(reps))
-    return t_big - t_small
+    for attempt in range(3):
+        r = reps + 2 * attempt
+        scale = 2 ** attempt
+        n1_eff = n0 + (n1 - n0) * scale
+        t_small = min(_one(run_n, n0) for _ in range(r))
+        t_big = min(_one(run_n, n1_eff) for _ in range(r))
+        if t_big - t_small > max(0.1 * t_big, 2e-3):
+            return (t_big - t_small) / scale
+    raise RuntimeError(
+        f"differenced timing unstable (t_big={t_big:.4f}, "
+        f"t_small={t_small:.4f}) — chip busy or chain too short")
 
 
 def _one(run_n, n):
@@ -66,7 +78,11 @@ def vpu_peak(dtype="float32"):
         out = chain(x0, k)
         float(out[0])               # forces full execution
 
-    k0, k1 = 512, 2560
+    # the chain must be LONG: at ~6 TF/s 2048 iterations is ~6 ms of
+    # work, smaller than the tunnel's readback jitter — which produced
+    # round-to-round "peaks" anywhere from 1.3 to 5.9 TF/s.  32768
+    # differenced iterations ≈ 90 ms of pure FMA work.
+    k0, k1 = 2048, 34816
     t = _diff_time(run_n, k0, k1)
     return 2.0 * n * (k1 - k0) / t
 
@@ -101,7 +117,7 @@ def vpu_div_peak(dtype="float32"):
     r3 weak 3: the FMA-derived VPU peak undercounts divide/sqrt (they
     occupy multiple FMA slots); this measures the honest denominator."""
     import time  # noqa: F401  (symmetry with the other benches)
-    n, k0, k1 = 8 * 1024 * 1024, 512, 2560
+    n, k0, k1 = 8 * 1024 * 1024, 512, 12800
     t_div = n * (k1 - k0) / _chain_rate(lambda x: 0.7 / (x + 0.1),
                                         n, k0, k1, dtype)
     t_add = n * (k1 - k0) / _chain_rate(lambda x: x + 0.1,
@@ -114,7 +130,7 @@ def vpu_rsqrt_peak(dtype="float32"):
     proxy for sqrt/rsqrt cost in the Roe-average/WENO-weight algebra."""
     import jax
     from jax import lax
-    n, k0, k1 = 8 * 1024 * 1024, 512, 2560
+    n, k0, k1 = 8 * 1024 * 1024, 512, 12800
     t_rs = n * (k1 - k0) / _chain_rate(lambda x: lax.rsqrt(x + 0.1),
                                        n, k0, k1, dtype)
     t_add = n * (k1 - k0) / _chain_rate(lambda x: x + 0.1,
@@ -171,7 +187,7 @@ def hbm_stream(dtype="float32"):
         out = chain(x0, k)
         float(out[0])
 
-    k0, k1 = 8, 72
+    k0, k1 = 8, 264      # 256 differenced passes ~ 200 ms of traffic
     t = _diff_time(run_n, k0, k1)
     return 8.0 * n * (k1 - k0) / t
 
@@ -218,7 +234,12 @@ def _analyze(setup, solver_type, mx, my, dt_frac, nsteps, vpu, hbm,
     import jax.numpy as jnp
 
     cells = mx * my
-    # cost analysis on the monolithic (untiled) build of the same step
+    # cost analysis on the monolithic (untiled) build of the same step.
+    # XLA's cost analysis counts a while/fori body ONCE regardless of
+    # trip count, so the SSP104 integrator's rolled stage loops would
+    # undercount ~4x: the SharpClaw cost build uses the Euler integrator
+    # (exactly one dq + update) and scales by the stage count below.
+    stages = 1
     claw_u = setup(mx=mx, my=my, solver_type=solver_type, outdir=None,
                    dtype=dtype)
     claw_u.solver.soa_tile_rows = 0
@@ -226,6 +247,9 @@ def _analyze(setup, solver_type, mx, my, dt_frac, nsteps, vpu, hbm,
     # alone now selects the SoA family (the honest 'auto' pick for a
     # monolithic build), which would cost-analyze the wrong kernel
     claw_u.solver.kernel_family = "aos"
+    if solver_type == "sharpclaw":
+        claw_u.solver.time_integrator = "Euler"
+        stages = 11           # SSP(10,4): 11 dq evaluations per step
     claw_u.solver.setup(claw_u.solution)
     q = jnp.asarray(claw_u.solution.state.q)
     dt = dt_frac / mx
@@ -237,16 +261,20 @@ def _analyze(setup, solver_type, mx, my, dt_frac, nsteps, vpu, hbm,
     claw_t.solver.setup(claw_t.solution)
     sps = measured_steps_per_sec(claw_t.solver._step_fn, q, dt, nsteps)
 
+    step_flops = cost["flops"] * stages
     out = {
-        "flops_per_cell": cost["flops"] / cells,
-        "bytes_per_cell_untiled_costmodel": cost["bytes"] / cells,
+        "flops_per_cell": step_flops / cells,
+        "bytes_per_cell_untiled_costmodel": cost["bytes"] * stages / cells,
         "cell_updates_per_sec": sps * cells,
-        "achieved_flops_per_sec": sps * cost["flops"],
-        "pct_of_vpu_roofline": 100.0 * sps * cost["flops"] / vpu,
+        "achieved_flops_per_sec": sps * step_flops,
+        "pct_of_vpu_roofline": 100.0 * sps * step_flops / vpu,
         "min_bytes_per_cell": 12 * q.shape[0] * q.dtype.itemsize // 4,
         "pct_of_hbm_roofline_at_min_traffic":
             100.0 * sps * 3 * q.size * q.dtype.itemsize / hbm,
     }
+    if stages > 1:
+        out["cost_model"] = (f"Euler-integrator dq cost x {stages} stages "
+                             "(while bodies are counted once by XLA)")
 
     # op-weighted ceiling (VERDICT r3 weak 3): divides/sqrts occupy
     # multiple FMA slots, so the FMA-only denominator overstates the
@@ -254,10 +282,10 @@ def _analyze(setup, solver_type, mx, my, dt_frac, nsteps, vpu, hbm,
     # averages).  t_cell = fma_flops/vpu + n_div/div + n_sqrt/rsqrt.
     if div_rate and rsqrt_rate:
         mix = op_mix(claw_u.solver._step_fn, q, dt)
-        n_div = mix.get("divide", 0) / cells
+        n_div = mix.get("divide", 0) * stages / cells
         n_sqrt = (mix.get("sqrt", 0) + mix.get("rsqrt", 0)
-                  + mix.get("power", 0)) / cells
-        fma = max(cost["flops"] / cells - n_div - n_sqrt, 0.0)
+                  + mix.get("power", 0)) * stages / cells
+        fma = max(step_flops / cells - n_div - n_sqrt, 0.0)
         t_cell = fma / vpu + n_div / div_rate + n_sqrt / rsqrt_rate
         out["div_per_cell"] = n_div
         out["sqrt_rsqrt_per_cell"] = n_sqrt
