@@ -112,7 +112,7 @@ class ClawSolver1D(ClawSolver):
 
     def _make_hyperbolic_step(self, state):
         rp = self.rp.rp
-        params = dict(state.problem_data)
+        params = self._weak_params(state.problem_data)
         mthlim = self._mthlim()
         order = self.order
         fwave = self.fwave
@@ -158,7 +158,7 @@ class ClawSolver2D(ClawSolver):
     def _make_hyperbolic_step(self, state):
         rp = self.rp.rp
         rpt = self.rp.rpt
-        params = dict(state.problem_data)
+        params = self._weak_params(state.problem_data)
         mthlim = self._mthlim()
         order = self.order
         fwave = self.fwave
@@ -374,7 +374,7 @@ class ClawSolver3D(ClawSolver):
         rp = self.rp.rp
         rpt = self.rp.rpt
         rptt = self.rp.rptt
-        params = dict(state.problem_data)
+        params = self._weak_params(state.problem_data)
         mthlim = self._mthlim()
         order = self.order
         fwave = self.fwave

@@ -165,7 +165,7 @@ class SharpClawSolver(Solver):
     def _make_dq(self, state):
         """Return traced fn (q, aux, dt, t) -> (dq_interior, cfl)."""
         rp = self.rp.rp
-        params = dict(state.problem_data)
+        params = self._weak_params(state.problem_data)
         lim_type = self.lim_type
         weno_order = self.weno_order
         index_capa = state.index_capa

@@ -96,6 +96,18 @@ class Solver:
         self.bc_lower = [bc_kind] * n
         self.bc_upper = [bc_kind] * n
 
+    @staticmethod
+    def _weak_params(problem_data):
+        """problem_data snapshot for the jitted kernels with numpy
+        scalars coerced to weak-typed Python numbers: an np.float64
+        physics constant (e.g. zz = np.sqrt(rho*bulk)) would otherwise
+        PROMOTE an f32 run's whole state to f64 inside the traced step
+        (caught by the on-device f32 golden validation, round 4).
+        Values are unchanged — f64 runs are bitwise identical."""
+        import numpy as _np
+        return {k: (v.item() if isinstance(v, _np.generic) else v)
+                for k, v in problem_data.items()}
+
     def _size_bc_lists(self, num_dim):
         for name in ("bc_lower", "bc_upper"):
             lst = getattr(self, name)

@@ -85,3 +85,35 @@ def test_observability_counters_and_profiler(tmp_path):
     # the profiler trace hook actually wrote a trace
     trace_files = [f for _, _, fs in os.walk(tmp_path / "trace") for f in fs]
     assert trace_files, "jax.profiler.trace produced no files"
+
+
+def test_f32_run_with_numpy_scalar_problem_data():
+    """np.float64 physics constants in problem_data (e.g. zz =
+    np.sqrt(rho*bulk)) must not promote an f32 run to f64 inside the
+    traced step (caught by the on-device f32 golden validation, r4;
+    Solver._weak_params coerces them to weak-typed Python floats)."""
+    import numpy as np
+
+    import pyclaw_tpu as pyclaw
+    from pyclaw_tpu import riemann
+
+    solver = pyclaw.ClawSolver1D(riemann.acoustics_1D)
+    solver.all_bcs = pyclaw.BC.periodic
+    domain = pyclaw.Domain([0.0], [1.0], [32])
+    state = pyclaw.State(domain, solver.rp.num_eqn, dtype="float32")
+    rho, bulk = np.float64(1.0), np.float64(4.0)
+    state.problem_data.update(rho=rho, bulk=bulk,
+                              zz=np.sqrt(rho * bulk),
+                              cc=np.sqrt(bulk / rho))
+    x = domain.grid.x.centers
+    state.q[0] = np.exp(-80.0 * (x - 0.5) ** 2).astype(np.float32)
+    claw = pyclaw.Controller()
+    claw.solver = solver
+    claw.solution = pyclaw.Solution(state, domain)
+    claw.tfinal = 0.05
+    claw.num_output_times = 1
+    claw.output_format = None
+    claw.keep_copy = True
+    claw.run()
+    assert claw.frames[-1].q.dtype == np.float32
+    assert np.all(np.isfinite(claw.frames[-1].q))
