@@ -365,6 +365,23 @@ def _slc(a, axis, sl):
     return a[tuple(idx)]
 
 
+def _merge1(a, b, axis):
+    """pad(a, (0,1)) + pad(b, (1,0)) along ``axis``, assembled as a
+    concatenation instead of two zero-fill pads:
+    [a_0, a[1:] + b[:-1], b_last].  Identical values (x+0 == x) and a
+    single output write — but measured SLOWER than the pad+add form on
+    this v5e in BOTH kernels that tried it (3D: 75.1 vs 85.2 M cups at
+    192^3; 2D: 873 vs ~914 M at 1024^2): TPU concatenations of these
+    slabs cost more than the dynamic-update-slice pad writes they
+    replace.  Kept (unused) as the record of the experiment; the
+    production kernels use zero-pad adds."""
+    n = a.shape[axis]
+    first = _slc(a, axis, slice(0, 1))
+    mid = _slc(a, axis, slice(1, n)) + _slc(b, axis, slice(0, n - 1))
+    last = _slc(b, axis, slice(n - 1, n))
+    return jnp.concatenate([first, mid, last], axis=axis)
+
+
 def _step3_sweeps(q, aux, dt, deltas, rp, params, mthlim, order, fwave,
                   index_capa, num_ghost):
     """Normal sweeps of the 3D step: per-direction fluctuations and
@@ -498,7 +515,7 @@ def _step3_update(q, aux, waves, dtdx_cells, capa, dt, deltas, rpt, rptt,
                                           trans_axis=f, **kwd)
                 own = {}     # i0 -> summed own-row rptt blocks
                 cross = {}   # (i0, e_start) -> summed crossing blocks
-                fe_acc = None   # summed padded rpt blocks for F[e]
+                fe_blocks = {}   # i0 -> rpt contribution block for F[e]
                 for imp in (1, 2):
                     if batch_transverse:
                         bm, bp = bm_b[:, imp - 1], bp_b[:, imp - 1]
@@ -521,9 +538,7 @@ def _step3_update(q, aux, waves, dtdx_cells, capa, dt, deltas, rpt, rptt,
                         c_bm = 0.5 * _slc(dd, e, slice(1, n_e))[None]
                         c_bp = 0.5 * _slc(dd, e, slice(0, n_e - 1))[None]
                         co2_full = (dt / (6.0 * deltas[e])) * dd
-                    pe = _embed(-(c_bm * bm_s + c_bp * bp_s),
-                                F[e], {axis_d: i0})
-                    fe_acc = pe if fe_acc is None else fe_acc + pe
+                    fe_blocks[i0] = -(c_bm * bm_s + c_bp * bp_s)
 
                     # ---- double-transverse (rptt3): corner-of-corner
                     # corrections into the third axis' fluxes.  Each
@@ -589,10 +604,10 @@ def _step3_update(q, aux, waves, dtdx_cells, capa, dt, deltas, rpt, rptt,
                                 cross[key] = (blk if key not in cross
                                               else cross[key] + blk)
                 # sum the padded blocks FIRST, then ONE add per flux
-                # array: each separate F = F + embed(...) statement
-                # lowers to its own full-array dynamic-update-slice
-                # write; the summed form gives XLA one output pass per
-                # (d, e) pair
+                # array.  (Concat-assembly — _merge1, as used in 2D —
+                # was measured SLOWER here: 75.1 vs 85.2 M at 192^3;
+                # minor-axis concats of these 4D slabs cost more than
+                # the pad writes they replace.)
                 acc = None
                 for i0 in sorted(own):
                     p = _embed(own[i0], F[f], {axis_d: i0})
@@ -602,8 +617,10 @@ def _step3_update(q, aux, waves, dtdx_cells, capa, dt, deltas, rpt, rptt,
                                        {axis_d: i0, axis_e: e_start})
                 if acc is not None:
                     F[f] = F[f] + acc
-                if fe_acc is not None:
-                    F[e] = F[e] + fe_acc
+                if fe_blocks:
+                    F[e] = F[e] + (_embed(fe_blocks[0], F[e], {axis_d: 0})
+                                   + _embed(fe_blocks[1], F[e],
+                                            {axis_d: 1}))
 
     # ---- assemble update over cells 1..n-2 on every axis --------------
     def inner_cells(a):
