@@ -31,18 +31,31 @@ def _wsum(coef, wave):
 
 def _roe_averages(q_l, q_r, gamma, vel_idx, e_idx=None):
     """Roe-averaged velocities (one per entry of vel_idx), enthalpy, sound
-    speed.  Returns (vels, H, a, a2, (p_l, p_r))."""
+    speed.  Returns (vels, H, a, a2, (p_l, p_r)).
+
+    Divide-diet form (r4): q/rho*sqrt(rho) == q*rsqrt(rho), so the two
+    sqrts become rsqrts and every per-side division becomes a multiply
+    by rsqrt(rho) or 1/rho = rsqrt(rho)^2 — 7 divides + 2 sqrts drop to
+    1 divide + 2 rsqrts per interface.  Divides cost ~6 FMA slots on
+    this VPU (tools/roofline.py) and the Roe average runs at every
+    interface of every sweep, so this is a measurable slice of the
+    op-weighted floor.  Values agree with the division form to roundoff
+    (golden suite unchanged at its tolerances)."""
+    from jax import lax
+
     rho_l, rho_r = q_l[0], q_r[0]
-    srl, srr = jnp.sqrt(rho_l), jnp.sqrt(rho_r)
+    irl, irr = lax.rsqrt(rho_l), lax.rsqrt(rho_r)
+    srl, srr = rho_l * irl, rho_r * irr
+    rinv_l, rinv_r = irl * irl, irr * irr
     w = 1.0 / (srl + srr)
-    vels = [(q_l[i] / rho_l * srl + q_r[i] / rho_r * srr) * w for i in vel_idx]
+    vels = [(q_l[i] * irl + q_r[i] * irr) * w for i in vel_idx]
     E_idx = (1 + len(vel_idx)) if e_idx is None else e_idx
-    ke_l = 0.5 * sum(q_l[i] ** 2 for i in vel_idx) / rho_l
-    ke_r = 0.5 * sum(q_r[i] ** 2 for i in vel_idx) / rho_r
+    ke_l = 0.5 * sum(q_l[i] ** 2 for i in vel_idx) * rinv_l
+    ke_r = 0.5 * sum(q_r[i] ** 2 for i in vel_idx) * rinv_r
     p_l = (gamma - 1.0) * (q_l[E_idx] - ke_l)
     p_r = (gamma - 1.0) * (q_r[E_idx] - ke_r)
-    H_l = (q_l[E_idx] + p_l) / rho_l
-    H_r = (q_r[E_idx] + p_r) / rho_r
+    H_l = (q_l[E_idx] + p_l) * rinv_l
+    H_r = (q_r[E_idx] + p_r) * rinv_r
     H = (srl * H_l + srr * H_r) * w
     ke = 0.5 * sum(v * v for v in vels)
     a2 = (gamma - 1.0) * (H - ke)
@@ -234,19 +247,24 @@ def _rpn2_euler_5wave(ixy, q_l, q_r, aux_l, aux_r, params):
 
 # ---- SoA fast-path variants (classic/soa.py protocol) ----------------
 def _roe_averages_soa(q_l, q_r, gamma, mu, mv):
-    """2D-array Roe averages, expression-for-expression the same algebra
-    as _roe_averages so the SoA path reproduces the generic kernels to
-    roundoff."""
+    """2D-array Roe averages, same divide-diet algebra as
+    _roe_averages (rsqrt form) so the SoA path reproduces the generic
+    kernels to roundoff."""
+    from jax import lax
+
     rho_l, rho_r = q_l[0], q_r[0]
-    srl, srr = jnp.sqrt(rho_l), jnp.sqrt(rho_r)
+    irl, irr = lax.rsqrt(rho_l), lax.rsqrt(rho_r)
+    srl, srr = rho_l * irl, rho_r * irr
+    rinv_l, rinv_r = irl * irl, irr * irr
     w = 1.0 / (srl + srr)
-    u = (q_l[mu] / rho_l * srl + q_r[mu] / rho_r * srr) * w
-    v = (q_l[mv] / rho_l * srl + q_r[mv] / rho_r * srr) * w
-    ke_l = 0.5 * (q_l[mu] ** 2 + q_l[mv] ** 2) / rho_l
-    ke_r = 0.5 * (q_r[mu] ** 2 + q_r[mv] ** 2) / rho_r
+    u = (q_l[mu] * irl + q_r[mu] * irr) * w
+    v = (q_l[mv] * irl + q_r[mv] * irr) * w
+    ke_l = 0.5 * (q_l[mu] ** 2 + q_l[mv] ** 2) * rinv_l
+    ke_r = 0.5 * (q_r[mu] ** 2 + q_r[mv] ** 2) * rinv_r
     p_l = (gamma - 1.0) * (q_l[3] - ke_l)
     p_r = (gamma - 1.0) * (q_r[3] - ke_r)
-    H = (srl * ((q_l[3] + p_l) / rho_l) + srr * ((q_r[3] + p_r) / rho_r)) * w
+    H = (srl * ((q_l[3] + p_l) * rinv_l)
+         + srr * ((q_r[3] + p_r) * rinv_r)) * w
     a2 = (gamma - 1.0) * (H - 0.5 * (u * u + v * v))
     return u, v, H, a2, jnp.sqrt(a2)
 
