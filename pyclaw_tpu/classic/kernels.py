@@ -841,7 +841,11 @@ def step3_phased(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim,
 def auto_tile(rows, cap):
     """Pick the row-tile size for the VMEM-blocked drivers: the largest
     divisor d of ``rows`` with d <= cap, rows//d >= 2, and d >= cap//4
-    (tiny tiles waste apron recompute).  None = don't tile."""
+    (tiny tiles waste apron recompute).  None = don't tile.  An
+    (x, y) pair (the 3D tilers accept one) falls back to its first
+    entry so a tuple set on a 2D solver degrades gracefully."""
+    if isinstance(cap, (tuple, list)):
+        cap = cap[0] if cap else None
     if not cap or cap <= 0 or rows < 4:
         return None
     lo = max(1, cap // 4)
