@@ -81,7 +81,8 @@ def main(mx=1024, my=1024, nsteps=300, dtype="float32", sc_steps=60):
     elapsed, compile_ok = _measure(solver._step_fn, q, dt, nsteps)
     cups = cells * nsteps / elapsed
 
-    # ---- SharpClaw WENO5 + SSP104 (BASELINE cfg4) ----------------------
+    # ---- SharpClaw WENO5 + SSP104 (BASELINE cfg4; the reference's
+    # default integrator) plus SSP33 (cfg4's literal "SSP-RK3") --------
     sc = {}
     try:
         claw2 = setup(mx=mx, my=my, solver_type="sharpclaw", outdir=None,
@@ -97,6 +98,15 @@ def main(mx=1024, my=1024, nsteps=300, dtype="float32", sc_steps=60):
             "elapsed_s": round(el2, 4),
             "compile_finite": ok2,
         }
+        claw3 = setup(mx=mx, my=my, solver_type="sharpclaw", outdir=None,
+                      dtype=dtype)
+        claw3.solver.time_integrator = "SSP33"
+        claw3.solver.setup(claw3.solution)
+        q33 = jnp.asarray(claw3.solution.state.q)
+        el33, ok33 = _measure(claw3.solver._step_fn, q33,
+                              0.02 * (1.0 / mx), sc_steps)
+        sc["ssp33_cell_updates_per_sec"] = round(cells * sc_steps / el33, 1)
+        sc["ssp33_compile_finite"] = ok33
     except Exception as e:  # never let cfg4 sink the headline metric
         sc = {"error": repr(e)}
 
