@@ -116,6 +116,25 @@ def test_step3_phased_matches_tiled():
     assert abs(float(ct) - float(cp)) < 1e-14
 
 
+def test_step3_phased_aux_path():
+    """step3_phased must also slice aux slabs correctly: variable-
+    coefficient 3D acoustics (aux-carrying, rpt-only -> tw=1)."""
+    from pyclaw_tpu.classic import kernels
+
+    rp = riemann.vc_acoustics_3D
+    rng = np.random.default_rng(11)
+    n = 20
+    q = jnp.asarray(0.1 * rng.random((4, n, n, n)))
+    aux = jnp.asarray(1.0 + 0.2 * rng.random((2, n, n, n)))
+    args = (aux, 1e-3, 0.1, 0.1, 0.1, rp.rp, rp.rpt, None, {},
+            (1,) * 2, 2, False, -1, 2)
+    qt, ct = kernels.step3_tiled(q, *args, transverse_waves=1, tile_rows=4)
+    qp, cp = kernels.step3_phased(q, *args, transverse_waves=1,
+                                  tile_rows=4)
+    np.testing.assert_allclose(np.asarray(qp), np.asarray(qt), atol=1e-14)
+    assert abs(float(ct) - float(cp)) < 1e-14
+
+
 def test_step3_batched_transverse_bitwise():
     """solver.batch_transverse=True stacks all asdq splits per sweep
     direction; values must be bitwise the unbatched path's."""
