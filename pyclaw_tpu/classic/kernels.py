@@ -384,9 +384,10 @@ def _merge1(a, b, axis):
 
 def _step3_sweeps(q, aux, dt, deltas, rp, params, mthlim, order, fwave,
                   index_capa, num_ghost):
-    """Normal sweeps of the 3D step: per-direction fluctuations and
-    limited corrections, plus the CFL reduction over interior
-    interfaces.  Returns (waves, dtdx_cells, capa, cfl) with
+    """Normal sweeps of the 3D step (the rpn3+limiter half of reference
+    step3.f90/flux3.f90): per-direction fluctuations and limited
+    corrections, plus the CFL reduction over interior interfaces.
+    Returns (waves, dtdx_cells, capa, cfl) with
     waves[d] = (amdq, apdq, cqxx)."""
     g = num_ghost
     shape = q.shape[1:]
@@ -452,8 +453,9 @@ def step3(q, aux, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
 def _step3_update(q, aux, waves, dtdx_cells, capa, dt, deltas, rpt, rptt,
                   params, num_ghost, transverse_waves=2, prefactor=None,
                   batch_transverse=False):
-    """Transverse corner transport + assembly of the 3D step, consuming
-    the per-direction fluctuations from :func:`_step3_sweeps`.  All
+    """Transverse corner transport + assembly of the 3D step (the
+    rpt3/rptt3 + gadd/hadd half of reference flux3.f90), consuming the
+    per-direction fluctuations from :func:`_step3_sweeps`.  All
     stencils here reach at most one cell, so a tiled driver can feed it
     PRE-SLICED waves (the phased form, :func:`step3_phased`) and get
     bitwise the fused result."""
