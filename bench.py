@@ -136,12 +136,16 @@ def main(mx=1024, my=1024, nsteps=300, dtype="float32", sc_steps=60):
         e3d = {"error": repr(e)}
 
     # ---- on-device f32 golden validation (correctness, not speed) ------
+    # time-budgeted: the driver runs bench.py under a fixed timeout and
+    # a cold compile cache costs ~20-40 s per case; cases past the
+    # budget are reported skipped rather than risking the whole run
     golden = {}
     try:
         sys.path.insert(0, "tools")
         from tpu_validate import validate
-        res = validate()
-        golden = {"all_ok": all(r.get("ok") for r in res.values()),
+        res = validate(deadline_s=300)
+        ran = [r for r in res.values() if r.get("ok") is not None]
+        golden = {"all_ok": bool(ran) and all(r.get("ok") for r in ran),
                   "cases": res}
     except Exception as e:  # never sink the headline
         golden = {"error": repr(e)}
