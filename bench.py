@@ -66,6 +66,8 @@ def main(mx=1024, my=1024, nsteps=300, dtype="float32", sc_steps=60):
     import jax
     import jax.numpy as jnp
 
+    t_start = time.monotonic()
+
     sys.path.insert(0, "examples")
     from euler_2d_quadrants import setup
 
@@ -136,14 +138,17 @@ def main(mx=1024, my=1024, nsteps=300, dtype="float32", sc_steps=60):
         e3d = {"error": repr(e)}
 
     # ---- on-device f32 golden validation (correctness, not speed) ------
-    # time-budgeted: the driver runs bench.py under a fixed timeout and
-    # a cold compile cache costs ~20-40 s per case; cases past the
-    # budget are reported skipped rather than risking the whole run
+    # time-budgeted FROM BENCH START: the driver runs bench.py under a
+    # fixed ~600 s timeout, the benches above already spent part of it
+    # (cold compiles: ~20-40 s per program), and being killed here would
+    # lose the headline JSON line entirely.  Cases past the remaining
+    # budget are reported skipped instead.
     golden = {}
     try:
         sys.path.insert(0, "tools")
         from tpu_validate import validate
-        res = validate(deadline_s=300)
+        budget = max(30.0, 450.0 - (time.monotonic() - t_start))
+        res = validate(deadline_s=budget)
         ran = [r for r in res.values() if r.get("ok") is not None]
         golden = {"all_ok": bool(ran) and all(r.get("ok") for r in ran),
                   "cases": res}

@@ -122,7 +122,12 @@ def vpu_div_peak(dtype="float32"):
                                         n, k0, k1, dtype)
     t_add = n * (k1 - k0) / _chain_rate(lambda x: x + 0.1,
                                         n, k0, k1, dtype)
-    return n * (k1 - k0) / max(t_div - t_add, 1e-12)
+    if t_div - t_add <= 0.1 * t_div:
+        raise RuntimeError(
+            f"divide microbench noise-dominated (t_div={t_div:.4f}, "
+            f"t_add={t_add:.4f}); a clamped rate would silently inflate "
+            "the op-weighted ceiling")
+    return n * (k1 - k0) / (t_div - t_add)
 
 
 def vpu_rsqrt_peak(dtype="float32"):
@@ -135,7 +140,11 @@ def vpu_rsqrt_peak(dtype="float32"):
                                        n, k0, k1, dtype)
     t_add = n * (k1 - k0) / _chain_rate(lambda x: x + 0.1,
                                         n, k0, k1, dtype)
-    return n * (k1 - k0) / max(t_rs - t_add, 1e-12)
+    if t_rs - t_add <= 0.1 * t_rs:
+        raise RuntimeError(
+            f"rsqrt microbench noise-dominated (t_rs={t_rs:.4f}, "
+            f"t_add={t_add:.4f})")
+    return n * (k1 - k0) / (t_rs - t_add)
 
 
 def op_mix(step, q, dt):
@@ -249,7 +258,9 @@ def _analyze(setup, solver_type, mx, my, dt_frac, nsteps, vpu, hbm,
     claw_u.solver.kernel_family = "aos"
     if solver_type == "sharpclaw":
         claw_u.solver.time_integrator = "Euler"
-        stages = 11           # SSP(10,4): 11 dq evaluations per step
+        stages = 10           # SSP(10,4): 10 dq evaluations per step
+        # (5 + 4 in the rolled fori_loops + the final one,
+        # sharpclaw/solver.py SSP104 branch)
     claw_u.solver.setup(claw_u.solution)
     q = jnp.asarray(claw_u.solution.state.q)
     dt = dt_frac / mx

@@ -98,7 +98,11 @@ def main(local=512, nsteps=20, devices=None, cpu=0, distributed=0):
             return best
 
         timed(2, repeats=1)           # compile + warm caches
-        tunneled = (not cpu) and jax.devices()[0].platform == "tpu"
+        # differencing only on single-process tunneled-TPU runs: in a
+        # distributed run the retry loop below is data-dependent per
+        # host and would desynchronize the collective sequences
+        tunneled = ((not cpu) and (not distributed)
+                    and jax.devices()[0].platform == "tpu")
         if tunneled:
             # differencing cancels the tunnel's constant readback RPC
             meas_steps, el = nsteps, -1.0
