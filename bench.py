@@ -147,11 +147,15 @@ def main(mx=1024, my=1024, nsteps=300, dtype="float32", sc_steps=60):
     try:
         sys.path.insert(0, "tools")
         from tpu_validate import validate
-        budget = max(30.0, 450.0 - (time.monotonic() - t_start))
-        res = validate(deadline_s=budget)
-        ran = [r for r in res.values() if r.get("ok") is not None]
-        golden = {"all_ok": bool(ran) and all(r.get("ok") for r in ran),
-                  "cases": res}
+        budget = 450.0 - (time.monotonic() - t_start)
+        if budget <= 0:
+            golden = {"skipped": "bench time budget spent before "
+                      "validation (cold compile caches?)"}
+        else:
+            res = validate(deadline_s=budget)
+            ran = [r for r in res.values() if r.get("ok") is not None]
+            golden = {"all_ok": bool(ran) and all(r.get("ok") for r in ran),
+                      "cases": res}
     except Exception as e:  # never sink the headline
         golden = {"error": repr(e)}
 

@@ -365,23 +365,6 @@ def _slc(a, axis, sl):
     return a[tuple(idx)]
 
 
-def _merge1(a, b, axis):
-    """pad(a, (0,1)) + pad(b, (1,0)) along ``axis``, assembled as a
-    concatenation instead of two zero-fill pads:
-    [a_0, a[1:] + b[:-1], b_last].  Identical values (x+0 == x) and a
-    single output write — but measured SLOWER than the pad+add form on
-    this v5e in BOTH kernels that tried it (3D: 75.1 vs 85.2 M cups at
-    192^3; 2D: 873 vs ~914 M at 1024^2): TPU concatenations of these
-    slabs cost more than the dynamic-update-slice pad writes they
-    replace.  Kept (unused) as the record of the experiment; the
-    production kernels use zero-pad adds."""
-    n = a.shape[axis]
-    first = _slc(a, axis, slice(0, 1))
-    mid = _slc(a, axis, slice(1, n)) + _slc(b, axis, slice(0, n - 1))
-    last = _slc(b, axis, slice(n - 1, n))
-    return jnp.concatenate([first, mid, last], axis=axis)
-
-
 def _step3_sweeps(q, aux, dt, deltas, rp, params, mthlim, order, fwave,
                   index_capa, num_ghost):
     """Normal sweeps of the 3D step (the rpn3+limiter half of reference

@@ -9,6 +9,18 @@ efix.f90`` (:~1-130/110), and ``riemann/riemann/shallow_1D_py.py``
 Roe averages:  u_hat = (sqrt(h_l) u_l + sqrt(h_r) u_r)/(sqrt(h_l)+sqrt(h_r)),
 c_hat = sqrt(g (h_l+h_r)/2).  Harten entropy fix on both acoustic waves.
 2D adds the shear wave (speed u_hat) and the transverse splitter.
+
+DRY STATES (h = 0): exactly as in the reference solvers, the Roe/HLLE
+paths in this module divide by h in the velocity recovery and produce
+inf/nan on dry cells — dry and wetting/drying problems are supported
+ONLY through the augmented solvers (``sw_aug_1D``/``sw_aug_2D`` below,
+exercised by tests/test_sw_aug_dry.py).  The one
+exception is ``RiemannSolver.flux`` (used by SharpClaw's internal
+flux-difference fluctuation), which where-guards h = 0 so a dry cell
+inside an otherwise-wet SharpClaw domain yields zero flux rather than
+nan; the guard is NOT replicated in the wave decompositions because a
+dry cell there is unrecoverable anyway (the Roe average itself is
+undefined) and the extra selects would tax every wet-state run.
 """
 
 from __future__ import annotations

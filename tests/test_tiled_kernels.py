@@ -135,6 +135,32 @@ def test_step3_phased_aux_path():
     assert abs(float(ct) - float(cp)) < 1e-14
 
 
+def test_step3_phased_capa_path():
+    """step3_phased must slice the capacity function (and the per-cell
+    dtdx = dt/(capa*dx)) correctly in its tile loop — ADVICE r4: the
+    index_capa >= 0 slab slicing was untested.  euler_3D ignores aux, so
+    a synthetic capacity row isolates exactly the capa dataflow."""
+    from pyclaw_tpu.classic import kernels
+
+    rp = riemann.euler_3D
+    rng = np.random.default_rng(5)
+    n = 20
+    q = np.ones((5, n, n, n))
+    q[0] = 1.0 + 0.1 * rng.random((n, n, n))
+    q[1:4] = 0.2 * rng.random((3, n, n, n))
+    q[4] = 2.5 + 0.2 * rng.random((n, n, n))
+    qj = jnp.asarray(q)
+    aux = jnp.asarray(1.0 + 0.5 * rng.random((1, n, n, n)))
+    args = (aux, 1e-3, 0.1, 0.1, 0.1, rp.rp, rp.rpt, rp.rptt, {"gamma": 1.4},
+            (1,) * 5, 2, False, 0, 2)          # index_capa = 0
+    qt, ct = kernels.step3_tiled(qj, *args, transverse_waves=2,
+                                 tile_rows=4, prefactor=rp.prefactor)
+    qp, cp = kernels.step3_phased(qj, *args, transverse_waves=2,
+                                  tile_rows=(8, 4), prefactor=rp.prefactor)
+    np.testing.assert_allclose(np.asarray(qp), np.asarray(qt), atol=1e-14)
+    assert abs(float(ct) - float(cp)) < 1e-14
+
+
 def test_step3_batched_transverse_bitwise():
     """solver.batch_transverse=True stacks all asdq splits per sweep
     direction; values must be bitwise the unbatched path's."""
