@@ -199,6 +199,154 @@ def step2_soa(q, dt, dx, dy, rpn_soa, rpt_soa, params, mthlim, order,
     return q_new[:, g - 1:nx - 1 - g, g - 1:ny - 1 - g], cfl
 
 
+def step2_soa_roll(q, dt, dx, dy, rpn_soa, rpt_soa, params, mthlim, order,
+                   num_ghost, transverse_waves=2, prefactor_soa=None,
+                   roll=jnp.roll, cfl_shape=None):
+    """Shape-uniform variant of :func:`step2_soa` for the Pallas/Mosaic
+    backend (round 5).
+
+    Mosaic cannot legalize the pad/concatenate ops the XLA-tuned body
+    uses for interface-array assembly ("result/input offset mismatch on
+    non-concat dimension"), so this form keeps EVERY intermediate at the
+    full slab shape (num_eqn, R, C): interface quantity k lives at index
+    k, neighbor access is a circular ``roll`` (``pltpu.roll`` on TPU —
+    a native sublane/lane rotate), and the entries where the XLA form
+    had zero padding hold wrapped-around garbage instead.  The garbage
+    stays out of the result: it occupies rows/cols {0, 1, R-2, R-1}
+    at most (each roll moves it one step; the longest chain is
+    wave -> limiter dot -> cqxx -> transverse split -> flux fold, four
+    shifts), and the returned interior window [g, R-g) x [g, C-g) with
+    g = 2 never reads those — interior values are bit-identical to
+    step2_soa (tests/test_soa.py pins it).
+
+    Same contract as step2_soa; ``roll(a, shift, axis)`` must implement
+    jnp.roll semantics.  ``cfl_shape``: the REAL (rows, cols) extent of
+    q when the caller padded it for DMA alignment (ops/tiled2d.py) —
+    the CFL reduction windows use it so inf/nan speeds from the dead
+    zero-filled cells never enter the max."""
+    g = num_ghost
+    num_eqn, nx, ny = q.shape
+    nxr, nyr = cfl_shape if cfl_shape is not None else (nx, ny)
+    dtdx = dt / dx
+    dtdy = dt / dy
+    qs = tuple(q[e] for e in range(num_eqn))
+
+    def up(a, axis):      # up(a)[k] = a[k+1]
+        return roll(a, -1, axis)
+
+    def down(a, axis):    # down(a)[k] = a[k-1]
+        return roll(a, 1, axis)
+
+    def phi_roll(comps, s, lid, dtdx_, axis):
+        # full-shape _phi_soa: dot_r[k] = <W_k, W_{k+1}>, dot_l[k] =
+        # dot_r[k-1]; the end-interface theta=0 convention is replaced
+        # by garbage that the interior window never consumes
+        live = [c for c in comps if c is not None]
+        wn2 = sum(c * c for c in live)
+        d = sum(c * up(c, axis) for c in live)
+        dotu = jnp.where(s > 0.0, down(d, axis), d)
+        safe = wn2 > 0.0
+        theta = jnp.where(safe, dotu / jnp.where(safe, wn2, 1.0), 0.0)
+        if int(lid) in tvd.CFL_LIMITER_IDS:
+            phi = tvd._phi_cfl(int(lid), theta, jnp.abs(s) * dtdx_)
+        else:
+            phi = tvd._phi(int(lid), theta)
+        return jnp.where(safe, phi, 1.0)
+
+    def sweep(axis, dtdx_):
+        ql = qs
+        qr = tuple(up(c, axis) for c in qs)
+        waves, speeds = rpn_soa(axis, ql, qr, params)
+        nw = len(waves)
+        phis = [None] * nw
+        if order == 2:
+            for p in range(nw):
+                lid = mthlim[p] if p < len(mthlim) else mthlim[-1]
+                if lid != 0:
+                    phis[p] = phi_roll(waves[p], speeds[p], lid, dtdx_,
+                                       axis)
+        amdq, apdq, cq = [], [], []
+        for e in range(num_eqn):
+            am = ap = c = None
+            for p in range(nw):
+                w = waves[p][e]
+                if w is None:
+                    continue
+                sp = speeds[p]
+                am_t = jnp.minimum(sp, 0.0) * w
+                ap_t = jnp.maximum(sp, 0.0) * w
+                am = am_t if am is None else am + am_t
+                ap = ap_t if ap is None else ap + ap_t
+                if order == 2:
+                    absp = jnp.abs(sp)
+                    coef = 0.5 * absp * (1.0 - absp * dtdx_)
+                    c_t = coef * w if phis[p] is None \
+                        else coef * phis[p] * w
+                    c = c_t if c is None else c + c_t
+            zero = jnp.zeros_like(qs[0])
+            amdq.append(am if am is not None else zero)
+            apdq.append(ap if ap is not None else zero)
+            cq.append((c if c is not None else zero)
+                      if order == 2 else None)
+        return amdq, apdq, cq, speeds
+
+    amdqx, apdqx, cqxx, sx = sweep(0, dtdx)
+    amdqy, apdqy, cqyy, sy = sweep(1, dtdy)
+
+    from functools import reduce
+    slx = (slice(g - 1, nxr - g), slice(g, nyr - g))
+    sly = (slice(g, nxr - g), slice(g - 1, nyr - g))
+    cflx = dtdx * reduce(jnp.maximum, (_abs_max(s, slx) for s in sx))
+    cfly = dtdy * reduce(jnp.maximum, (_abs_max(s, sly) for s in sy))
+    cfl = jnp.maximum(cflx, cfly)
+
+    Fx = list(cqxx) if order == 2 else [jnp.zeros_like(a) for a in amdqx]
+    Gy = list(cqyy) if order == 2 else [jnp.zeros_like(a) for a in amdqy]
+
+    if rpt_soa is not None and transverse_waves > 0:
+        qx_l, qx_r = qs, tuple(up(c, 0) for c in qs)
+        if transverse_waves >= 2 and order == 2:
+            am_x = [a + c for a, c in zip(amdqx, cqxx)]
+            ap_x = [a - c for a, c in zip(apdqx, cqxx)]
+        else:
+            am_x, ap_x = amdqx, apdqx
+        kwx = {} if prefactor_soa is None else {
+            "eig": prefactor_soa(0, qx_l, qx_r, params)}
+        bm_am, bp_am = rpt_soa(0, 1, qx_l, qx_r, tuple(am_x), params, **kwx)
+        bm_ap, bp_ap = rpt_soa(0, 2, qx_l, qx_r, tuple(ap_x), params, **kwx)
+        half_dtdx = 0.5 * dtdx
+        for e in range(num_eqn):
+            blk0 = half_dtdx * (up(bm_am[e], 1) + bp_am[e])
+            blk1 = half_dtdx * (up(bm_ap[e], 1) + bp_ap[e])
+            Gy[e] = Gy[e] - blk0 - down(blk1, 0)
+
+        qy_l, qy_r = qs, tuple(up(c, 1) for c in qs)
+        if transverse_waves >= 2 and order == 2:
+            am_y = [a + c for a, c in zip(amdqy, cqyy)]
+            ap_y = [a - c for a, c in zip(apdqy, cqyy)]
+        else:
+            am_y, ap_y = amdqy, apdqy
+        kwy = {} if prefactor_soa is None else {
+            "eig": prefactor_soa(1, qy_l, qy_r, params)}
+        am_bm, ap_bm = rpt_soa(1, 1, qy_l, qy_r, tuple(am_y), params, **kwy)
+        am_bp, ap_bp = rpt_soa(1, 2, qy_l, qy_r, tuple(ap_y), params, **kwy)
+        half_dtdy = 0.5 * dtdy
+        for e in range(num_eqn):
+            blk0 = half_dtdy * (up(am_bm[e], 0) + ap_bm[e])
+            blk1 = half_dtdy * (up(am_bp[e], 0) + ap_bp[e])
+            Fx[e] = Fx[e] - blk0 - down(blk1, 1)
+
+    out = []
+    for e in range(num_eqn):
+        dq = (down(apdqx[e], 0) + amdqx[e]
+              + Fx[e] - down(Fx[e], 0)) * dtdx \
+            + (down(apdqy[e], 1) + amdqy[e]
+               + Gy[e] - down(Gy[e], 1)) * dtdy
+        out.append(qs[e] - dq)
+    q_new = jnp.stack(out)
+    return q_new[:, g:nx - g, g:ny - g], cfl
+
+
 def step2_soa_tiled(q, dt, dx, dy, rpn_soa, rpt_soa, params, mthlim, order,
                     num_ghost, transverse_waves=2, tile_rows=128,
                     prefactor_soa=None):

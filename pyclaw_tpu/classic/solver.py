@@ -188,6 +188,26 @@ class ClawSolver2D(ClawSolver):
         if self.backend == "pallas":
             from ..ops import tiled2d
             nx, ny = state.patch.num_cells_global
+            # Row-tiled Mosaic-legal kernel (round 5): the preferred
+            # on-chip geometry — aligned DMAs, roll-form SoA body, whole
+            # CTU step fused per tile.  Measured 2.10 G cell-updates/s
+            # at 1024^2 f32 Euler on a v5e (tile 32, 48 MB VMEM) vs
+            # 0.93 G for the XLA row-tiled driver (docs/performance.md).
+            rows_tile = next((t for t in (32, 16, 8)
+                              if nx % t == 0), None)
+            if (self._soa_eligible(state) and ny % 128 == 0
+                    and rows_tile is not None):
+                rpn_soa = self.rp.rpn_soa
+                rpt_soa = self.rp.rpt_soa
+                vmem_mb = 48 if rows_tile >= 32 else None
+
+                def kern_rows(qbc, auxbc, dt, t):
+                    return tiled2d.step2_pallas_rows(
+                        qbc, auxbc, dt, dx, dy, rp, rpt, params, mthlim,
+                        order, fwave, index_capa, g, rpn_soa=rpn_soa,
+                        rpt_soa=rpt_soa, transverse_waves=tw,
+                        tile_rows=rows_tile, vmem_limit_mb=vmem_mb)
+                return self._wrap_bc_kernel(kern_rows, state)
             tm = 8 if nx % 8 == 0 else nx
             tn = 128 if ny % 128 == 0 else ny
             # genuine VMEM blocking needs (8,128)-divisible dims; a

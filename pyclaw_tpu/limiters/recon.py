@@ -87,18 +87,32 @@ def weno5_stencil(vm2, vm1, v0, vp1, vp2):
         ql = (c0 * m0 + c1 * m1 + c2 * m2) / (c0 + c1 + c2)
         return ql, qr
 
-    # f32: scale-invariant rational weights (see docstring)
-    r = 1.0 / (b0 + b1 + b2 + 1e-30)
-    e0 = 1e-6 + b0 * r
-    e1 = 1e-6 + b1 * r
-    e2 = 1e-6 + b2 * r
+    # f32: scale-invariant rational weights (see docstring).  The e_k
+    # are scaled by 1e3 (folded into the reciprocal's numerator — free):
+    # the weights are ratios, so a common factor in e cancels exactly,
+    # and it re-centers the 4th-power products for the merged
+    # normalization below (unscaled, constant data puts every e_k at
+    # 1e-6 and den_r*den_l at ~1e-48 -> f32 underflow -> inf).  With the
+    # scale, e_k in [1e-3, 1e3], each den in [~1e-13, ~1e12], and the
+    # den product in [~1e-26, ~1e24] — safely inside f32 range.
+    r = 1e3 / (b0 + b1 + b2 + 1e-30)
+    e0 = 1e-3 + b0 * r
+    e1 = 1e-3 + b1 * r
+    e2 = 1e-3 + b2 * r
     s01 = (e0 * e1) ** 2
     s02 = (e0 * e2) ** 2
     s12 = (e1 * e2) ** 2              # alpha_k proportional to d_k*s_jk
     a0, a1, a2 = 0.1 * s12, 0.6 * s02, 0.3 * s01
-    qr = (a0 * p0 + a1 * p1 + a2 * p2) / (a0 + a1 + a2)
     c0, c1, c2 = 0.3 * s12, 0.6 * s02, 0.1 * s01
-    ql = (c0 * m0 + c1 * m1 + c2 * m2) / (c0 + c1 + c2)
+    # one reciprocal normalizes BOTH edges (round-5 divide diet):
+    # qr = num_r/den_r, ql = num_l/den_l computed as
+    # num_r*(den_l*inv), num_l*(den_r*inv) with inv = 1/(den_r*den_l) —
+    # 3 extra muls to save one of the three divides per stencil.
+    den_r = a0 + a1 + a2
+    den_l = c0 + c1 + c2
+    inv = 1.0 / (den_r * den_l)
+    qr = (a0 * p0 + a1 * p1 + a2 * p2) * (den_l * inv)
+    ql = (c0 * m0 + c1 * m1 + c2 * m2) * (den_r * inv)
     return ql, qr
 
 

@@ -13,16 +13,36 @@ them on CPU.  weno5 and step1 are independent re-derivations and serve
 as dual-backend oracles; the single-block step2 wrapper reuses the XLA
 kernel body and is a smoke path only.
 
-NOTE (dev-environment): the axon-tunneled TPU in this build environment
-currently fails to compile Mosaic kernels (its remote-compile helper
-returns HTTP 500 even for a trivial pallas_call, 2026-08-17), so
-backend='xla' remains the default; on directly-attached TPUs these
-kernels compile normally.  Measured XLA-backend throughput and the
-roofline gap live in docs/performance.md — the fused kernels are the
-path to closing it, not a correctness dependency.
+NOTE (dev-environment, round-5 status): the axon tunnel's AOT compile
+helper compiles Mosaic again (rounds 3-4 it returned HTTP 500 / crashed)
+— with one environment-specific trap, diagnosed 2026-08-21: under
+jax_enable_x64 (this package's default), Pallas grid/BlockSpec index
+arithmetic traces as i64 and Mosaic fails with ``failed to legalize
+operation 'func.return'``.  The fix is :func:`mosaic_ctx` below — trace
+the pallas_call under ``jax.enable_x64(False)`` whenever the data is not
+f64 (the TPU production path is f32, so kernel numerics are unaffected;
+f64 runs use interpret mode anyway).  All kernels in this package wrap
+their pallas_call in it.  Measured on-chip numbers live in
+docs/performance.md.
 """
 
-from .sweep import step1_pallas  # noqa: F401
-from .sweep2d import step2_pallas  # noqa: F401
-from .tiled2d import step2_pallas_tiled  # noqa: F401
-from .weno import weno5_pallas  # noqa: F401
+import contextlib
+
+
+def mosaic_ctx(dtype):
+    """Trace-time context for pallas_call: disable x64 so index/grid
+    scalars are i32 (Mosaic through this tunnel cannot legalize i64
+    index arithmetic — see module docstring).  No-op for f64 data
+    (which only runs in interpret mode here) and when x64 is globally
+    off."""
+    import jax
+    import jax.numpy as jnp
+    if jnp.dtype(dtype) == jnp.float64:
+        return contextlib.nullcontext()
+    return jax.enable_x64(False)
+
+
+from .sweep import step1_pallas  # noqa: E402,F401
+from .sweep2d import step2_pallas  # noqa: E402,F401
+from .tiled2d import step2_pallas_tiled  # noqa: E402,F401
+from .weno import weno5_pallas  # noqa: E402,F401

@@ -68,12 +68,14 @@ def step2_pallas(qbc, auxbc, dt, dx, dy, rp, rpt, params, mthlim, order,
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     in_specs = [vspec] + ([vspec] if has_aux else []) + [sspec]
     args = (qbc,) + ((auxbc,) if has_aux else ()) + (dt_arr,)
-    q_out, cfl = pl.pallas_call(
-        kernel,
-        in_specs=in_specs,
-        out_specs=(vspec, sspec),
-        out_shape=(jax.ShapeDtypeStruct((num_eqn, mx, my), qbc.dtype),
-                   jax.ShapeDtypeStruct((1, 1), qbc.dtype)),
-        interpret=_interpret(),
-    )(*args)
+    from . import mosaic_ctx
+    with mosaic_ctx(qbc.dtype):
+        q_out, cfl = pl.pallas_call(
+            kernel,
+            in_specs=in_specs,
+            out_specs=(vspec, sspec),
+            out_shape=(jax.ShapeDtypeStruct((num_eqn, mx, my), qbc.dtype),
+                       jax.ShapeDtypeStruct((1, 1), qbc.dtype)),
+            interpret=_interpret(),
+        )(*args)
     return q_out, cfl[0, 0]

@@ -105,6 +105,146 @@ def step2_pallas_tiled(qbc, dt, dx, dy, rpn_soa, rpt_soa, params, mthlim,
     return q_out, jnp.max(cfl_tiles)
 
 
+def step2_pallas_rows(qbc, auxbc, dt, dx, dy, rp, rpt, params, mthlim,
+                      order, fwave, index_capa, num_ghost, rpn_soa=None,
+                      rpt_soa=None, transverse_waves=2, tile_rows=16,
+                      vmem_limit_mb=None):
+    """Row-tiled fused 2D unsplit step — the Mosaic-legal tile geometry
+    for this toolchain (round 5).
+
+    The (8,128)+halo tiles of :func:`step2_pallas_tiled` violate the
+    AOT compiler's DMA alignment rule (a halo apron of ``tile+2*g`` is
+    not a multiple of the (8,128) native tiling: "Slice shape along
+    dimension 1 must be aligned to tiling (8), but is 12").  This
+    kernel tiles ROWS only — the Pallas analog of the XLA production
+    driver ``kernels.step2_tiled`` — and keeps every DMA aligned:
+
+      * each program DMAs ``tile_rows + 8`` full-width rows starting at
+        the 8-aligned offset ``i*tile_rows`` (4 rows of deliberate
+        over-fetch beyond the ``2*g = 4``-row apron, so the slice SHAPE
+        is 8-aligned), from a qbc padded by 4 dead rows;
+      * the body runs the whole unsplit CTU step on the ghost-padded
+        sub-slab — SoA body when ``rpn_soa`` is given, the generic AoS
+        ``kernels.step2`` otherwise (aux/capacity/fwave systems);
+      * only the (tile_rows, ny) interior block is written back, plus a
+        per-program CFL into SMEM.
+
+    Unlike the XLA row-tiled driver (tile 128, ~40 fusions per tile,
+    each round-tripping its operands through VMEM), the entire per-tile
+    dataflow here lives in Mosaic's VMEM working set — which also
+    bounds ``tile_rows``: the body materializes O(40) arrays of
+    (num_eqn, tile_rows+4, ny+4), so ~16 MB VMEM caps tile_rows at
+    ~8-32 for 1024-wide f32 Euler.  qbc (num_eqn, nx, ny) ghost-padded
+    -> (q interior, cfl), same contract as kernels.step2."""
+    g = num_ghost
+    num_eqn, nxg, nyg = qbc.shape
+    nx, ny = nxg - 2 * g, nyg - 2 * g
+    tm = tile_rows
+    if nx % tm or tm % 8:
+        raise ValueError(
+            f"step2_pallas_rows: tile_rows={tm} must be a multiple of 8 "
+            f"and divide the interior rows ({nx})")
+    if ny % 128:
+        raise ValueError(
+            f"step2_pallas_rows: interior width ({ny}) must be a "
+            f"multiple of 128 (Mosaic output-block lane alignment)")
+    fetch = tm + 2 * g + (-(tm + 2 * g)) % 8     # 8-aligned DMA row count
+    # dead rows so the last program's over-fetch stays in bounds
+    # (program i DMAs rows [i*tm, i*tm + fetch)), dead lanes so the DMA
+    # slice's lane extent is 128-aligned ("Slice shape along dimension 2
+    # must be aligned to tiling (128)").  The dead cells hold zeros that
+    # behave exactly like the roll body's wrap-around garbage: lane roll
+    # depth is <= 2 per side, so they never reach the interior window.
+    pad_rows = max(0, (nx - tm + fetch) - nxg)
+    pad_lanes = (-nyg) % 128
+    qbc = jnp.pad(qbc, ((0, 0), (0, pad_rows), (0, pad_lanes)))
+    lanes = nyg + pad_lanes
+    grid = (nx // tm,)
+    has_aux = auxbc is not None
+    if has_aux:
+        auxbc = jnp.pad(auxbc, ((0, 0), (0, pad_rows), (0, pad_lanes)))
+        num_aux = auxbc.shape[0]
+
+    from ..classic import kernels, soa
+
+    def kernel(*refs):
+        if has_aux:
+            (dt_ref, q_hbm, aux_hbm, out_ref, cfl_ref,
+             slab, aslab, sem, asem) = refs
+        else:
+            dt_ref, q_hbm, out_ref, cfl_ref, slab, sem = refs
+        i = pl.program_id(0)
+        dma = pltpu.make_async_copy(
+            q_hbm.at[:, pl.ds(i * tm, fetch)], slab, sem)
+        dma.start()
+        if has_aux:
+            adma = pltpu.make_async_copy(
+                aux_hbm.at[:, pl.ds(i * tm, fetch)], aslab, asem)
+            adma.start()
+            adma.wait()
+        dma.wait()
+        sub = slab[:, :tm + 2 * g, :]
+        if rpn_soa is not None:
+            # shape-uniform roll body: Mosaic cannot legalize the
+            # pad/concat interface assembly of the XLA-tuned step2_soa
+            def roll_tpu(a, shift, axis):
+                return pltpu.roll(a, jnp.int32(shift % a.shape[axis]),
+                                  axis)
+            q_new, cfl = soa.step2_soa_roll(
+                sub, dt_ref[0], dx, dy, rpn_soa, rpt_soa, params,
+                mthlim, order, g, transverse_waves=transverse_waves,
+                roll=roll_tpu, cfl_shape=(tm + 2 * g, nyg))
+        else:
+            aux_t = aslab[:, :tm + 2 * g, :] if has_aux else None
+            q_new, cfl = kernels.step2(
+                sub, aux_t, dt_ref[0], dx, dy, rp, rpt, params, mthlim,
+                order, fwave, index_capa, g,
+                transverse_waves=transverse_waves)
+        out_ref[...] = q_new[:, :, :ny]      # drop the dead lanes
+        cfl_ref[i] = cfl
+
+    out_shape = (
+        jax.ShapeDtypeStruct((num_eqn, nx, ny), qbc.dtype),
+        jax.ShapeDtypeStruct(grid, qbc.dtype),
+    )
+    out_specs = (
+        pl.BlockSpec((num_eqn, tm, ny), lambda i: (0, i, 0)),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY)]
+    scratch = [pltpu.VMEM((num_eqn, fetch, lanes), qbc.dtype),
+               pltpu.SemaphoreType.DMA]
+    args = [jnp.asarray(dt, qbc.dtype).reshape(1), qbc]
+    if has_aux:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch.insert(1, pltpu.VMEM((num_aux, fetch, lanes), auxbc.dtype))
+        scratch.append(pltpu.SemaphoreType.DMA)
+        args.append(auxbc)
+
+    kw = {}
+    if vmem_limit_mb is not None and not _interpret():
+        # the 16 MB default scoped-VMEM limit caps tile_rows at ~16 for
+        # 1024-wide f32 Euler; the v5e has far more physical VMEM and a
+        # per-kernel raise (unlike the XLA-wide flag, which round 4
+        # measured as a large regression) only affects this kernel
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024)
+    from . import mosaic_ctx
+    with mosaic_ctx(qbc.dtype):
+        q_out, cfl_tiles = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            interpret=_interpret(),
+            **kw,
+        )(*args)
+    return q_out, jnp.max(cfl_tiles)
+
+
 def step2_pallas_tiled_generic(qbc, auxbc, dt, dx, dy, rp, rpt, params,
                                mthlim, order, fwave, index_capa,
                                num_ghost, transverse_waves=2,

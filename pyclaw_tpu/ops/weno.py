@@ -89,13 +89,15 @@ def weno5_pallas(q, row_tile=8):
     grid = (rows // tile,)
     spec = pl.BlockSpec((tile, n), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
-    ql, qr = pl.pallas_call(
-        _weno5_kernel,
-        grid=grid,
-        in_specs=[spec],
-        out_specs=(spec, spec),
-        out_shape=(jax.ShapeDtypeStruct((rows, n), q.dtype),
-                   jax.ShapeDtypeStruct((rows, n), q.dtype)),
-        interpret=_interpret(),
-    )(q2)
+    from . import mosaic_ctx
+    with mosaic_ctx(q.dtype):
+        ql, qr = pl.pallas_call(
+            _weno5_kernel,
+            grid=grid,
+            in_specs=[spec],
+            out_specs=(spec, spec),
+            out_shape=(jax.ShapeDtypeStruct((rows, n), q.dtype),
+                       jax.ShapeDtypeStruct((rows, n), q.dtype)),
+            interpret=_interpret(),
+        )(q2)
     return ql.reshape(shape), qr.reshape(shape)

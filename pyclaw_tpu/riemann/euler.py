@@ -63,6 +63,30 @@ def _roe_averages(q_l, q_r, gamma, vel_idx, e_idx=None):
     return vels, H, a, a2, (p_l, p_r)
 
 
+def _alpha34(g1, a, a2, u, n3, n4_partial):
+    """Acoustic/entropy wave strengths of the 2D Roe decomposition:
+    a3 = g1/a2 * n3,  a4 = (n4_partial - a*a3) / (2a).
+
+    float64 (correctness regime): the literal divisions — bitwise the
+    reference rpn2_euler algebra, golden-suite pinned.
+
+    float32 (TPU perf regime, round-5 divide diet): 1/a2 and 1/(2a) are
+    both powers of rsqrt(a2) (ia = rsqrt(a2) = 1/a; 1/a2 = ia*ia), so
+    the two divides become one rsqrt + multiplies (divides cost ~6 FMA
+    slots, rsqrt ~4 — tools/roofline.py).  Used by both the generic AoS
+    and the SoA 2D solvers so the dual-path equality oracle holds at
+    either dtype."""
+    if jnp.result_type(a2) == jnp.float64:
+        a3 = g1 / a2 * n3
+        a4 = (n4_partial - a * a3) / (2.0 * a)
+        return a3, a4
+    from jax import lax
+    ia = lax.rsqrt(a2)
+    a3 = g1 * (ia * ia) * n3
+    a4 = (n4_partial - a * a3) * (0.5 * ia)
+    return a3, a4
+
+
 # ======================================================================
 # 1D Roe solver with Harten entropy fix (rp1_euler_with_efix.f90)
 # ======================================================================
@@ -186,9 +210,10 @@ def _rpn2_euler(ixy, q_l, q_r, aux_l, aux_r, params, tracer=False):
     d0, dmu, dmv, dE = d[0], d[mu], d[mv], d[E]
 
     euv = H - (u * u + v * v)
-    a3 = g1 / a2 * (euv * d0 + u * dmu + v * dmv - dE)
+    a3, a4 = _alpha34(g1, a, a2, u,
+                      euv * d0 + u * dmu + v * dmv - dE,
+                      dmu + (a - u) * d0)
     a2w = dmv - v * d0                 # shear strength
-    a4 = (dmu + (a - u) * d0 - a * a3) / (2.0 * a)
     a1 = d0 - a3 - a4
 
     num_eqn = q_l.shape[0]
@@ -284,9 +309,10 @@ def _rpn2_euler_soa(ixy, q_l, q_r, params, tracer=False):
     dE = q_r[3] - q_l[3]
 
     euv = H - (u * u + v * v)
-    a3 = g1 / a2 * (euv * d0 + u * dmu + v * dmv - dE)
+    a3, a4 = _alpha34(g1, a, a2, u,
+                      euv * d0 + u * dmu + v * dmv - dE,
+                      dmu + (a - u) * d0)
     a2w = dmv - v * d0
-    a4 = (dmu + (a - u) * d0 - a * a3) / (2.0 * a)
     a1 = d0 - a3 - a4
 
     def mk(rho_c, mu_c, mv_c, e_c, t_c=None):
@@ -727,8 +753,15 @@ def _flux_euler_2d_soa(ixy, qs, params, tracer=False):
     gamma = params["gamma"]
     mu, mv = 1 + ixy, 2 - ixy
     rho, E = qs[0], qs[3]
-    u = qs[mu] / rho
-    p = (gamma - 1.0) * (E - 0.5 * (qs[1] ** 2 + qs[2] ** 2) / rho)
+    if jnp.result_type(rho) == jnp.float64:
+        u = qs[mu] / rho
+        p = (gamma - 1.0) * (E - 0.5 * (qs[1] ** 2 + qs[2] ** 2) / rho)
+    else:
+        # f32 divide diet: share one reciprocal between the velocity
+        # recovery and the kinetic-energy term (2 divides -> 1)
+        rinv = 1.0 / rho
+        u = qs[mu] * rinv
+        p = (gamma - 1.0) * (E - 0.5 * (qs[1] ** 2 + qs[2] ** 2) * rinv)
     comp = [None] * len(qs)
     comp[0] = qs[mu]
     comp[mu] = qs[mu] * u + p
