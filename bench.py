@@ -64,6 +64,20 @@ def _measure(step, q, dt, nsteps, n0=20):
 
 def main(mx=1024, my=1024, nsteps=300, dtype="float32", sc_steps=60):
     import jax
+
+    # persistent compile cache: compiles through the tunnel cost
+    # 20-40 s per program, and the driver runs bench.py under a fixed
+    # timeout; the cache (verified working through the axon remote
+    # compiler, round 5) makes repeat runs compile-free
+    try:
+        import os
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     t_start = time.monotonic()
@@ -74,14 +88,29 @@ def main(mx=1024, my=1024, nsteps=300, dtype="float32", sc_steps=60):
     cells = mx * my
 
     # ---- classic CTU (headline) ---------------------------------------
-    claw = setup(mx=mx, my=my, solver_type="classic", outdir=None,
-                 dtype=dtype)
-    solver = claw.solver
-    solver.setup(claw.solution)
-    q = jnp.asarray(claw.solution.state.q)
+    # backend='pallas' (the round-5 fused on-chip sweep, ~2x the XLA
+    # driver) with automatic fallback to the XLA path if the tunnel's
+    # Mosaic compiler regresses again (rounds 3-4 it was broken)
     dt = 0.2 * (1.0 / mx)  # fixed stable dt (CFL ~0.5 for this IC)
-    elapsed, compile_ok = _measure(solver._step_fn, q, dt, nsteps)
-    cups = cells * nsteps / elapsed
+    cups = None
+    for backend in ("pallas", "xla"):
+        try:
+            claw = setup(mx=mx, my=my, solver_type="classic",
+                         outdir=None, dtype=dtype,
+                         kernel_language=backend)
+            solver = claw.solver
+            solver.setup(claw.solution)
+            q = jnp.asarray(claw.solution.state.q)
+            elapsed, compile_ok = _measure(solver._step_fn, q, dt, nsteps)
+            if not compile_ok:
+                raise RuntimeError("non-finite result")
+            cups = cells * nsteps / elapsed
+            headline_backend = backend
+            break
+        except Exception as e:
+            headline_err = repr(e)[:200]
+    if cups is None:
+        raise SystemExit(f"both backends failed: {headline_err}")
 
     # ---- SharpClaw WENO5 + SSP104 (BASELINE cfg4; the reference's
     # default integrator) plus SSP33 (cfg4's literal "SSP-RK3") --------
@@ -137,6 +166,24 @@ def main(mx=1024, my=1024, nsteps=300, dtype="float32", sc_steps=60):
     except Exception as e:  # never sink the headline
         e3d = {"error": repr(e)}
 
+    # ---- grid sweep (VERDICT r4 item 4: verify the tiling story off
+    # the tuned point; nsteps scaled so each adds ~1 measured second) --
+    sweep = {}
+    for smx, sn in ((2048, 80), (4096, 20)):
+        try:
+            claws = setup(mx=smx, my=smx, solver_type="classic",
+                          outdir=None, dtype=dtype,
+                          kernel_language=headline_backend)
+            claws.solver.setup(claws.solution)
+            qs2 = jnp.asarray(claws.solution.state.q)
+            els, oks = _measure(claws.solver._step_fn, qs2,
+                                0.2 / smx, sn, n0=4)
+            sweep[f"{smx}x{smx}"] = {
+                "cell_updates_per_sec": round(smx * smx * sn / els, 1),
+                "nsteps": sn, "compile_finite": oks}
+        except Exception as e:
+            sweep[f"{smx}x{smx}"] = {"error": repr(e)[:150]}
+
     # ---- on-device f32 golden validation (correctness, not speed) ------
     # time-budgeted FROM BENCH START: the driver runs bench.py under a
     # fixed ~600 s timeout, the benches above already spent part of it
@@ -170,8 +217,10 @@ def main(mx=1024, my=1024, nsteps=300, dtype="float32", sc_steps=60):
             "dtype": str(dtype),
             "elapsed_s": round(elapsed, 4),
             "backend": jax.default_backend(),
+            "kernel_backend": headline_backend,
             "device": str(jax.devices()[0]),
             "compile_finite": compile_ok,
+            "grid_sweep": sweep,
             "sharpclaw_weno5_ssp104": sc,
             "classic_3d_euler": e3d,
             "golden_ok": golden,

@@ -9,13 +9,14 @@ from pyclaw_tpu import riemann
 
 
 def setup(nx=800, kernel_language="xla", solver_type="sharpclaw",
-          time_integrator="SSP104", outdir="./_output"):
+          time_integrator="SSP104", char_decomp=0, outdir="./_output"):
     if solver_type == "classic":
         solver = pyclaw.ClawSolver1D(riemann.euler_with_efix_1D)
         solver.limiters = [pyclaw.limiters.tvd.MC]
     else:
         solver = pyclaw.SharpClawSolver1D(riemann.euler_with_efix_1D)
         solver.time_integrator = time_integrator
+        solver.char_decomp = char_decomp
     solver.backend = kernel_language
     solver.all_bcs = pyclaw.BC.extrap
 

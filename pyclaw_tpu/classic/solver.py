@@ -199,7 +199,16 @@ class ClawSolver2D(ClawSolver):
                     and rows_tile is not None):
                 rpn_soa = self.rp.rpn_soa
                 rpt_soa = self.rp.rpt_soa
-                vmem_mb = 48 if rows_tile >= 32 else None
+                # scoped-VMEM need scales with (DMA rows) x (padded
+                # lanes); measured ~16.2 MB at tile 32 x 1152 lanes
+                # (1024^2 grid) and ~110 MB suffices at 4224 lanes
+                # (4096^2).  1.5x headroom, raise only when the 16 MB
+                # default would OOM, cap below the v5e's physical VMEM.
+                fetch = rows_tile + 2 * g + (-(rows_tile + 2 * g)) % 8
+                lanes = ny + 2 * g + (-(ny + 2 * g)) % 128
+                need_mb = 16.5 * (lanes / 1152.0) * (fetch / 36.0)
+                vmem_mb = (None if need_mb < 14.0
+                           else min(112, int(need_mb * 1.5 + 8)))
 
                 def kern_rows(qbc, auxbc, dt, t):
                     return tiled2d.step2_pallas_rows(

@@ -38,6 +38,15 @@ CASES = {
                            dict(mx=80, my=80, solver_type="classic")),
     "euler_3d": ("euler_3d", dict(mx=16, my=16, mz=16)),
     "stegoton_1d": ("stegoton_1d", dict(nx=600)),
+    # round-5 additions (VERDICT r4 item 5: widen the on-device f32
+    # golden set to the non-smooth paths)
+    "euler_2d_quadrants_128": ("euler_2d_quadrants",
+                               dict(mx=128, my=128,
+                                    solver_type="classic")),
+    "dam_break_dry_1d": ("dam_break_dry", dict(nx=200, dimension=1)),
+    "euler_1d_sod_chardecomp": ("euler_1d_shocktube",
+                                dict(nx=200, solver_type="sharpclaw",
+                                     char_decomp=2)),
 }
 
 
