@@ -74,6 +74,33 @@ def _ghost_slices(q, axis, num_ghost, kind, side, normal_comp):
         raise ValueError(f"unknown BC kind {kind}")
 
 
+def extend_aligned(q, num_ghost, bc_lower, bc_upper, wall_reflects=True,
+                   tail=(0, 0)):
+    """2D ghost extension fused with the Pallas DMA-alignment tail.
+
+    The row-tiled Pallas kernels need qbc padded to 8-aligned rows /
+    128-aligned lanes; done separately (extend() + jnp.pad) that is two
+    extra full-array output passes per kernel invocation.  For UNIFORM
+    extrap or periodic BCs the whole thing is one ``jnp.pad`` with
+    mode='edge'/'wrap' — identical ghost values to extend(), and the
+    tail cells hold replicated/wrapped REAL data (finite — the kernels
+    clip them out of the interior window and CFL reduction via
+    ``cfl_shape``).  Returns None for any other BC combination (mixed
+    kinds, wall, custom) — callers fall back to extend() + in-kernel
+    padding.  (A dynamic-update-slice single-pass variant supporting
+    all BC kinds was measured 0.3 ms/call SLOWER at 1024^2 — XLA does
+    not elide the DUS copies — and dropped; docs/performance.md.)"""
+    g = num_ghost
+    num_dim = q.ndim - 1
+    kinds = set(tuple(bc_lower[:num_dim]) + tuple(bc_upper[:num_dim]))
+    widths = ((0, 0),) + tuple((g, g + t) for t in tail)
+    if kinds == {BC.extrap}:
+        return jnp.pad(q, widths, mode="edge")
+    if kinds == {BC.periodic}:
+        return jnp.pad(q, widths, mode="wrap")
+    return None
+
+
 def extend(q, num_ghost, bc_lower, bc_upper, wall_reflects=True):
     """Extend q with ghost cells on every spatial axis.
 

@@ -216,6 +216,24 @@ class ClawSolver2D(ClawSolver):
                         order, fwave, index_capa, g, rpn_soa=rpn_soa,
                         rpt_soa=rpt_soa, transverse_waves=tw,
                         tile_rows=rows_tile, vmem_limit_mb=vmem_mb)
+
+                # single-pass aligned BC build (skips the kernel's
+                # internal alignment pad); falls back to the generic
+                # wrapper for custom BCs / distributed runs
+                pad_rows = max(0, fetch - 2 * g - rows_tile)
+                pad_lanes = lanes - (ny + 2 * g)
+
+                def kern_rows_pre(qbc, auxbc, dt, t):
+                    return tiled2d.step2_pallas_rows(
+                        qbc, auxbc, dt, dx, dy, rp, rpt, params, mthlim,
+                        order, fwave, index_capa, g, rpn_soa=rpn_soa,
+                        rpt_soa=rpt_soa, transverse_waves=tw,
+                        tile_rows=rows_tile, vmem_limit_mb=vmem_mb,
+                        prepadded_interior=(nx, ny))
+                aligned = self._wrap_bc_kernel_aligned(
+                    kern_rows_pre, state, (pad_rows, pad_lanes))
+                if aligned is not None:
+                    return aligned
                 return self._wrap_bc_kernel(kern_rows, state)
             tm = 8 if nx % 8 == 0 else nx
             tn = 128 if ny % 128 == 0 else ny

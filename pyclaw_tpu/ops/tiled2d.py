@@ -108,7 +108,7 @@ def step2_pallas_tiled(qbc, dt, dx, dy, rpn_soa, rpt_soa, params, mthlim,
 def step2_pallas_rows(qbc, auxbc, dt, dx, dy, rp, rpt, params, mthlim,
                       order, fwave, index_capa, num_ghost, rpn_soa=None,
                       rpt_soa=None, transverse_waves=2, tile_rows=16,
-                      vmem_limit_mb=None):
+                      vmem_limit_mb=None, prepadded_interior=None):
     """Row-tiled fused 2D unsplit step — the Mosaic-legal tile geometry
     for this toolchain (round 5).
 
@@ -135,10 +135,20 @@ def step2_pallas_rows(qbc, auxbc, dt, dx, dy, rp, rpt, params, mthlim,
     bounds ``tile_rows``: the body materializes O(40) arrays of
     (num_eqn, tile_rows+4, ny+4), so ~16 MB VMEM caps tile_rows at
     ~8-32 for 1024-wide f32 Euler.  qbc (num_eqn, nx, ny) ghost-padded
-    -> (q interior, cfl), same contract as kernels.step2."""
+    -> (q interior, cfl), same contract as kernels.step2.
+
+    ``prepadded_interior=(nx, ny)``: the caller (the solver's aligned
+    BC wrapper via bc.extend_aligned) already built qbc at the
+    DMA-aligned shape — skip the internal pads (saves a full-array
+    output pass per invocation)."""
     g = num_ghost
-    num_eqn, nxg, nyg = qbc.shape
-    nx, ny = nxg - 2 * g, nyg - 2 * g
+    num_eqn = qbc.shape[0]
+    if prepadded_interior is not None:
+        nx, ny = prepadded_interior
+        nxg, nyg = nx + 2 * g, ny + 2 * g
+    else:
+        _, nxg, nyg = qbc.shape
+        nx, ny = nxg - 2 * g, nyg - 2 * g
     tm = tile_rows
     if nx % tm or tm % 8:
         raise ValueError(
@@ -157,7 +167,12 @@ def step2_pallas_rows(qbc, auxbc, dt, dx, dy, rp, rpt, params, mthlim,
     # depth is <= 2 per side, so they never reach the interior window.
     pad_rows = max(0, (nx - tm + fetch) - nxg)
     pad_lanes = (-nyg) % 128
-    qbc = jnp.pad(qbc, ((0, 0), (0, pad_rows), (0, pad_lanes)))
+    if prepadded_interior is not None:
+        assert (qbc.shape[1] >= nxg + pad_rows
+                and qbc.shape[2] == nyg + pad_lanes), \
+            (qbc.shape, (nxg + pad_rows, nyg + pad_lanes))
+    else:
+        qbc = jnp.pad(qbc, ((0, 0), (0, pad_rows), (0, pad_lanes)))
     lanes = nyg + pad_lanes
     grid = (nx // tm,)
     has_aux = auxbc is not None
@@ -243,6 +258,101 @@ def step2_pallas_rows(qbc, auxbc, dt, dx, dy, rp, rpt, params, mthlim,
             **kw,
         )(*args)
     return q_out, jnp.max(cfl_tiles)
+
+
+def dq_pallas_rows(qbc, dt, dx, dy, rpn_soa, params, weno_order,
+                   num_ghost, positivity=None, flux_soa=None,
+                   tile_rows=16, vmem_limit_mb=None,
+                   prepadded_interior=None):
+    """Row-tiled fused SharpClaw 2D semidiscretization (the per-stage
+    engine of BASELINE cfg4) — same Mosaic-legal geometry as
+    :func:`step2_pallas_rows` (8-aligned over-fetch DMAs, 128-aligned
+    dead lanes, roll-form SoA body ``sharpclaw.soa.dq_2d_soa_roll``).
+    qbc (num_eqn, nx, ny) ghost-padded with g = (weno_order+1)//2 ->
+    (dq over interior cells, cfl), the contract of kernels.dq_nd.
+    ``prepadded_interior``: as in :func:`step2_pallas_rows`.
+
+    (Negative result, round 5: fusing the SSP stage combination
+    ``ca*q + cb*r + cc*dq`` into this kernel measured SLOWER — SSP33
+    454 -> 389 M, SSP104 122 -> 119 M cups at 1024^2 — the separate
+    XLA combine pass overlaps the next stage's work, the in-kernel
+    combine serializes behind the dq compute and adds a second DMA for
+    the r register.  The machinery was removed; see
+    docs/performance.md.)"""
+    g = num_ghost
+    num_eqn = qbc.shape[0]
+    if prepadded_interior is not None:
+        nx, ny = prepadded_interior
+        nxg, nyg = nx + 2 * g, ny + 2 * g
+    else:
+        _, nxg, nyg = qbc.shape
+        nx, ny = nxg - 2 * g, nyg - 2 * g
+    tm = tile_rows
+    if nx % tm or tm % 8:
+        raise ValueError(
+            f"dq_pallas_rows: tile_rows={tm} must be a multiple of 8 "
+            f"and divide the interior rows ({nx})")
+    if ny % 128:
+        raise ValueError(
+            f"dq_pallas_rows: interior width ({ny}) must be a multiple "
+            f"of 128 (Mosaic output-block lane alignment)")
+    fetch = tm + 2 * g + (-(tm + 2 * g)) % 8
+    pad_rows = max(0, (nx - tm + fetch) - nxg)
+    pad_lanes = (-nyg) % 128
+    if prepadded_interior is not None:
+        assert (qbc.shape[1] >= nxg + pad_rows
+                and qbc.shape[2] == nyg + pad_lanes), \
+            (qbc.shape, (nxg + pad_rows, nyg + pad_lanes))
+    else:
+        qbc = jnp.pad(qbc, ((0, 0), (0, pad_rows), (0, pad_lanes)))
+    lanes = nyg + pad_lanes
+    grid = (nx // tm,)
+
+    from ..sharpclaw import soa as sc_soa
+
+    def kernel(dt_ref, q_hbm, out_ref, cfl_ref, slab, sem):
+        i = pl.program_id(0)
+        dma = pltpu.make_async_copy(
+            q_hbm.at[:, pl.ds(i * tm, fetch)], slab, sem)
+        dma.start()
+        dma.wait()
+        sub = slab[:, :tm + 2 * g, :]
+
+        def roll_tpu(a, shift, axis):
+            return pltpu.roll(a, jnp.int32(shift % a.shape[axis]), axis)
+        dq, cfl = sc_soa.dq_2d_soa_roll(
+            sub, dt_ref[0], dx, dy, rpn_soa, params, weno_order, g,
+            positivity=positivity, flux_soa=flux_soa, roll=roll_tpu,
+            cfl_shape=(tm + 2 * g, nyg))
+        out_ref[...] = dq[:, :, :ny]
+        cfl_ref[i] = cfl
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY)]
+    scratch = [pltpu.VMEM((num_eqn, fetch, lanes), qbc.dtype),
+               pltpu.SemaphoreType.DMA]
+    args = [jnp.asarray(dt, qbc.dtype).reshape(1), qbc]
+
+    kw = {}
+    if vmem_limit_mb is not None and not _interpret():
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024)
+    from . import mosaic_ctx
+    with mosaic_ctx(qbc.dtype):
+        dq_out, cfl_tiles = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(pl.BlockSpec((num_eqn, tm, ny),
+                                    lambda i: (0, i, 0)),
+                       pl.BlockSpec(memory_space=pltpu.SMEM)),
+            out_shape=(jax.ShapeDtypeStruct((num_eqn, nx, ny), qbc.dtype),
+                       jax.ShapeDtypeStruct(grid, qbc.dtype)),
+            scratch_shapes=scratch,
+            interpret=_interpret(),
+            **kw,
+        )(*args)
+    return dq_out, jnp.max(cfl_tiles)
 
 
 def step2_pallas_tiled_generic(qbc, auxbc, dt, dx, dy, rp, rpt, params,

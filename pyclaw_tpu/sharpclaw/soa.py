@@ -160,6 +160,103 @@ def dq_2d_soa(qbc, dt, dx, dy, rpn_soa, params, weno_order, num_ghost,
     return jnp.stack(out), jnp.maximum(cflx, cfly)
 
 
+def _dq_dir_roll(qs, axis, dt, dxi, rpn_soa, params, weno_order,
+                 num_ghost, positivity, flux_soa, roll, real_shape):
+    """Shape-uniform roll form of :func:`_dq_dir_soa` for the
+    Pallas/Mosaic backend (same rationale as classic
+    soa.step2_soa_roll): every array keeps the full slab shape, edge
+    replication becomes circular wrap garbage, and the garbage radius —
+    (k-1) stencil shifts + 1 interface shift + 1 update shift for WENO
+    order 2k-1 — is strictly inside the ``g = k`` ghost band, so the
+    interior window and the CFL slices (bounded by ``real_shape``, the
+    un-padded extents — dead DMA-alignment cells hold inf speeds) never
+    read it.  Returns the FULL slab-shaped dq (cell i valid for i in
+    [g, n_real-g) along ``axis``) and cfl."""
+    g = num_ghost
+    num_eqn = len(qs)
+    n_real = real_shape[axis]
+    # sweep axis clipped to the interior-interface window (as in
+    # _dq_dir_soa); the other axis clipped to its real extent only
+    sl = [slice(0, real_shape[0]), slice(0, real_shape[1])]
+    sl[axis] = slice(g - 1, n_real - g)
+    sl = tuple(sl)
+
+    def sh(a, k):       # out[i] = a[i+k], circular
+        return roll(a, -k, axis)
+
+    k = (weno_order + 1) // 2
+    ql, qr = [], []
+    for e in range(num_eqn):
+        shifts = [sh(qs[e], m) for m in range(-k + 1, k)]
+        l, r = recon.weno_stencil(weno_order, shifts)
+        ql.append(l)
+        qr.append(r)
+
+    if positivity is not None:
+        ok = positivity(ql, None, params) & positivity(qr, None, params)
+        ql = [jnp.where(ok, l, c) for l, c in zip(ql, qs)]
+        qr = [jnp.where(ok, r, c) for r, c in zip(qr, qs)]
+
+    # interface i between cells i, i+1: states (qr_i, ql_{i+1})
+    q_li = tuple(qr)
+    q_ri = tuple(sh(l, 1) for l in ql)
+    waves, speeds = rpn_soa(axis, q_li, q_ri, params)
+    zero = jnp.zeros_like(qs[0])
+    amdq, apdq = _combine(waves, speeds, num_eqn, zero)
+
+    if flux_soa is not None:
+        fl = flux_soa(axis, tuple(ql), params)
+        fr = flux_soa(axis, tuple(qr), params)
+        adq = [(fr[e] if fr[e] is not None else zero)
+               - (fl[e] if fl[e] is not None else zero)
+               for e in range(num_eqn)]
+    else:
+        waves2, speeds2 = rpn_soa(axis, tuple(ql), tuple(qr), params)
+        adq = []
+        for e in range(num_eqn):
+            a = None
+            for w, sp in zip(waves2, speeds2):
+                if w[e] is None:
+                    continue
+                t = sp * w[e]
+                a = t if a is None else a + t
+            adq.append(a if a is not None else zero)
+
+    dtdx = dt / dxi
+    cfl = dtdx * reduce(jnp.maximum,
+                        (jnp.max(jnp.abs(s[sl]))
+                         if jnp.ndim(s) else jnp.abs(s)
+                         for s in speeds))
+
+    # dq at cell i: -(dt/dx) (apdq_{i-1} + amdq_i + adq_i)
+    dq = [-dtdx * (roll(apdq[e], 1, axis) + amdq[e] + adq[e])
+          for e in range(num_eqn)]
+    return dq, cfl
+
+
+def dq_2d_soa_roll(qbc, dt, dx, dy, rpn_soa, params, weno_order,
+                   num_ghost, positivity=None, flux_soa=None,
+                   roll=jnp.roll, cfl_shape=None):
+    """Roll-form :func:`dq_2d_soa` (Pallas backend body).  Interior
+    values are bit-identical to dq_2d_soa (tests/test_soa.py); see
+    classic soa.step2_soa_roll for the garbage-containment argument.
+    ``cfl_shape``: real (rows, cols) when the caller padded for DMA
+    alignment."""
+    g = num_ghost
+    num_eqn, nx, ny = qbc.shape
+    nxr, nyr = cfl_shape if cfl_shape is not None else (nx, ny)
+    qs = tuple(qbc[e] for e in range(num_eqn))
+
+    dqx, cflx = _dq_dir_roll(qs, 0, dt, dx, rpn_soa, params, weno_order,
+                             g, positivity, flux_soa, roll, (nxr, nyr))
+    dqy, cfly = _dq_dir_roll(qs, 1, dt, dy, rpn_soa, params, weno_order,
+                             g, positivity, flux_soa, roll, (nxr, nyr))
+
+    out = [dqx[e][g:nx - g, g:ny - g] + dqy[e][g:nx - g, g:ny - g]
+           for e in range(num_eqn)]
+    return jnp.stack(out), jnp.maximum(cflx, cfly)
+
+
 def dq_2d_soa_tiled(qbc, dt, dx, dy, rpn_soa, params, weno_order,
                     num_ghost, positivity=None, tile_rows=128,
                     flux_soa=None):

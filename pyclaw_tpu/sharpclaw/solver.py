@@ -159,7 +159,7 @@ class SharpClawSolver(Solver):
                 and not self.tfluct_solver
                 and state.aux is None
                 and state.index_capa < 0
-                and self.backend == "xla"
+                and self.backend in ("xla", "pallas")
                 and self.rp.rpn_soa is not None)
 
     def _make_dq(self, state):
@@ -199,13 +199,56 @@ class SharpClawSolver(Solver):
             rpn_soa = self.rp.rpn_soa
             dx2, dy2 = deltas
             tile_rows = getattr(self, "soa_tile_rows", 128)
+            nx, ny = state.patch.num_cells_global
+            rows_tile = next((t for t in (32, 16, 8)
+                              if nx % t == 0), None)
+            if (backend == "pallas" and ny % 128 == 0
+                    and rows_tile is not None):
+                # fused on-chip per-stage dq (round 5; see the classic
+                # dispatch for the geometry and VMEM-sizing story)
+                from ..ops import tiled2d
+                fetch = rows_tile + 2 * g + (-(rows_tile + 2 * g)) % 8
+                lanes = ny + 2 * g + (-(ny + 2 * g)) % 128
+                need_mb = 16.5 * (lanes / 1152.0) * (fetch / 36.0)
+                vmem_mb = (None if need_mb < 14.0
+                           else min(112, int(need_mb * 1.5 + 8)))
 
-            def kern_soa(qbc, auxbc, dt, t):
-                return sc_soa.dq_2d_soa_tiled(qbc, dt, dx2, dy2, rpn_soa,
-                                              params, weno_order, g,
-                                              positivity=positivity,
-                                              tile_rows=tile_rows,
-                                              flux_soa=flux_soa)
+                def kern_soa(qbc, auxbc, dt, t):
+                    return tiled2d.dq_pallas_rows(
+                        qbc, dt, dx2, dy2, rpn_soa, params, weno_order,
+                        g, positivity=positivity, flux_soa=flux_soa,
+                        tile_rows=rows_tile, vmem_limit_mb=vmem_mb)
+
+                # single-pass aligned BC build per stage (skips the
+                # kernel's internal alignment pad — the BC+pad chain
+                # was ~18% of the SSP104 step)
+                pad_rows = max(0, fetch - 2 * g - rows_tile)
+                pad_lanes = lanes - (ny + 2 * g)
+
+                def kern_soa_pre(qbc, auxbc, dt, t):
+                    return tiled2d.dq_pallas_rows(
+                        qbc, dt, dx2, dy2, rpn_soa, params, weno_order,
+                        g, positivity=positivity, flux_soa=flux_soa,
+                        tile_rows=rows_tile, vmem_limit_mb=vmem_mb,
+                        prepadded_interior=(nx, ny))
+                aligned = self._wrap_bc_kernel_aligned(
+                    kern_soa_pre, state, (pad_rows, pad_lanes))
+                if aligned is not None:
+                    base = aligned
+                    if dq_src is None:
+                        return base
+
+                    def dq_sa(q, aux, dt, t):
+                        d, cfl = base(q, aux, dt, t)
+                        return (d + dt * dq_src(self, state, q, dt, t),
+                                cfl)
+                    return dq_sa
+            else:
+                def kern_soa(qbc, auxbc, dt, t):
+                    return sc_soa.dq_2d_soa_tiled(
+                        qbc, dt, dx2, dy2, rpn_soa, params, weno_order,
+                        g, positivity=positivity, tile_rows=tile_rows,
+                        flux_soa=flux_soa)
             base = self._wrap_bc_kernel(kern_soa, state)
             if dq_src is None:
                 return base
@@ -288,8 +331,8 @@ class SharpClawSolver(Solver):
                 s1, cfl = lax.fori_loop(
                     0, 4, lambda i, c: body(i, c, 6), (s1, cfl))
                 d, c = dq(s1, aux, dt, t + dt)
-                cfl = jnp.maximum(cfl, c)
                 qn = s2 + 0.6 * s1 + 0.1 * d
+                cfl = jnp.maximum(cfl, c)
                 return qn, cfl
         elif integrator == "RK":
             # generic explicit Runge-Kutta from the user's Butcher tableau

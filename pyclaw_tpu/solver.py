@@ -191,6 +191,35 @@ class Solver:
             return kern(qbc, auxbc, dt, t)
         return stepper
 
+    def _wrap_bc_kernel_aligned(self, kern, state, tail):
+        """Fused-BC variant of :meth:`_wrap_bc_kernel` for the Pallas
+        row-tiled kernels (round 5): builds the ghost-padded array
+        directly at the kernel's DMA-aligned shape with
+        ``bc.extend_aligned`` (one jnp.pad instead of two
+        concatenations + an alignment pad).  ``kern`` receives the
+        prepadded qbc and must be built with the matching
+        ``prepadded_interior``.  Returns None when the fast path does
+        not apply — distributed overlay (which overrides
+        _wrap_bc_kernel with the halo-exchange form), aux arrays,
+        non-2D, or a BC combination extend_aligned does not fuse — and
+        the caller falls back."""
+        from . import bc as bcmod
+        base = Solver._wrap_bc_kernel
+        overridden = type(self)._wrap_bc_kernel is not base
+        if overridden or state.aux is not None or self.num_dim != 2:
+            return None
+        g = self.num_ghost
+        lower = tuple(self.bc_lower)
+        upper = tuple(self.bc_upper)
+        kinds = set(lower) | set(upper)
+        if not (kinds == {bcmod.BC.extrap} or kinds == {bcmod.BC.periodic}):
+            return None
+
+        def stepper(q, aux, dt, t):
+            qbc = bcmod.extend_aligned(q, g, lower, upper, tail=tail)
+            return kern(qbc, None, dt, t)
+        return stepper
+
     def step(self, solution):
         """One Δt step on device arrays; must set self.cfl local max."""
         raise NotImplementedError

@@ -12,6 +12,7 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
 
 import jax.numpy as jnp  # noqa: E402
+from pyclaw_tpu import riemann  # noqa: E402
 
 
 def test_weno5_pallas_matches_xla():
@@ -173,3 +174,87 @@ def test_pallas_single_block_vmem_guard():
     state.q[3] = 2.5
     with pytest.raises(ValueError, match="VMEM"):
         solver.setup(pyclaw.Solution(state, domain))
+
+
+def _one_step(solver_type, backend, **solver_kw):
+    import euler_2d_quadrants as mod
+    claw = mod.setup(solver_type=solver_type, kernel_language=backend,
+                     outdir=None, mx=64, my=128, **solver_kw)
+    s = claw.solver
+    s.setup(claw.solution)
+    q = jnp.asarray(claw.solution.state.q)
+    qn, cfl = s._step_fn(q, None, 1e-4, 0.0)
+    return np.asarray(qn), float(cfl)
+
+
+def test_rows_kernel_classic_matches_xla():
+    """The round-5 row-tiled Mosaic-legal kernel (step2_pallas_rows +
+    roll-form SoA body + fused-pad BC) engages when the width is a
+    128-multiple; one fixed-dt step must match the XLA path to a few
+    ulp (a full adaptive run amplifies 1-ulp differences through the
+    shocks into O(1e-4) — measured, not a bug — so the oracle is the
+    deterministic single step)."""
+    q_x, c_x = _one_step("classic", "xla")
+    q_p, c_p = _one_step("classic", "pallas")
+    np.testing.assert_allclose(q_p, q_x, atol=1e-14)
+    assert abs(c_x - c_p) < 1e-14
+
+
+def test_rows_kernel_sharpclaw_matches_xla():
+    """dq_pallas_rows (roll-form WENO5 dq) vs the XLA SoA path: one
+    fixed-dt SSP33 step to a few ulp (see the classic variant for why
+    not a full run)."""
+    q_x, c_x = _one_step("sharpclaw", "xla", time_integrator="SSP33")
+    q_p, c_p = _one_step("sharpclaw", "pallas", time_integrator="SSP33")
+    np.testing.assert_allclose(q_p, q_x, atol=1e-14)
+    assert abs(c_x - c_p) < 1e-14
+
+
+def test_step2_soa_roll_bitexact():
+    """soa.step2_soa_roll must reproduce step2_soa bit-for-bit on the
+    interior for every transverse_waves mode (the wrap-garbage
+    containment proof in its docstring, checked)."""
+    from pyclaw_tpu.classic import soa
+
+    rng = np.random.default_rng(0)
+    rp = riemann.euler_4wave_2D
+    q = np.ones((4, 32, 48))
+    q[0] = 1.0 + 0.1 * rng.random((32, 48))
+    q[1] = 0.1 * rng.random((32, 48))
+    q[2] = 0.05
+    q[3] = 2.5 + 0.1 * rng.random((32, 48))
+    qj = jnp.asarray(q)
+    params = {"gamma": 1.4}
+    for tw in (0, 1, 2):
+        a, ca = soa.step2_soa(qj, 1e-3, 0.01, 0.01, rp.rpn_soa,
+                              rp.rpt_soa, params, (4,) * 4, 2, 2,
+                              transverse_waves=tw)
+        b, cb = soa.step2_soa_roll(qj, 1e-3, 0.01, 0.01, rp.rpn_soa,
+                                   rp.rpt_soa, params, (4,) * 4, 2, 2,
+                                   transverse_waves=tw)
+        assert bool(jnp.all(a == b)) and float(ca) == float(cb)
+
+
+def test_dq_soa_roll_bitexact():
+    """sharpclaw soa.dq_2d_soa_roll == dq_2d_soa bit-for-bit, with and
+    without the per-system flux fast path."""
+    from pyclaw_tpu.sharpclaw import soa as sc_soa
+
+    rng = np.random.default_rng(1)
+    rp = riemann.euler_4wave_2D
+    q = np.ones((4, 40, 56))
+    q[0] = 1.0 + 0.1 * rng.random((40, 56))
+    q[1] = 0.1 * rng.random((40, 56))
+    q[2] = 0.05
+    q[3] = 2.5 + 0.1 * rng.random((40, 56))
+    qj = jnp.asarray(q)
+    params = {"gamma": 1.4}
+    for flux in (rp.flux_soa, None):
+        a, ca = sc_soa.dq_2d_soa(qj, 1e-3, 0.01, 0.01, rp.rpn_soa,
+                                 params, 5, 3, positivity=rp.positivity,
+                                 flux_soa=flux)
+        b, cb = sc_soa.dq_2d_soa_roll(qj, 1e-3, 0.01, 0.01, rp.rpn_soa,
+                                      params, 5, 3,
+                                      positivity=rp.positivity,
+                                      flux_soa=flux)
+        assert bool(jnp.all(a == b)) and float(ca) == float(cb)
