@@ -642,6 +642,161 @@ def _step3_update(q, aux, waves, dtdx_cells, capa, dt, deltas, rpt, rptt,
     return out
 
 
+def step3_roll(q, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
+               num_ghost, transverse_waves=2, prefactor=None,
+               roll=jnp.roll, cfl_shape=None):
+    """Shape-uniform roll form of :func:`step3` for the Pallas/Mosaic
+    backend (round 5; same rationale as classic soa.step2_soa_roll):
+    every intermediate keeps the full slab shape, interface quantity k
+    lives at index k along its axis, slices/pads/embeds become circular
+    rolls, and the wrap garbage — at most 2 cells deep per side on each
+    axis (stencil + limiter + transverse/double-transverse shifts) —
+    stays strictly inside the ``g = 2`` ghost band that the returned
+    interior window [g, n-g) never reads.  Accumulation order matches
+    step3 exactly, so interior values are bit-identical
+    (tests/test_tiled_kernels.py pins it).
+
+    Restricted to the aux-free/no-capacity/wave-form case (the SoA-class
+    eligibility of the 2D Pallas path); q (num_eqn, nx, ny, nz)
+    ghost-padded -> (q interior, cfl).  ``cfl_shape``: real extents when
+    the caller padded for DMA alignment (dead cells never enter the
+    CFL reduction windows)."""
+    g = num_ghost
+    shape = q.shape[1:]
+    real = cfl_shape if cfl_shape is not None else shape
+    deltas = (dx, dy, dz)
+
+    def up(a, d, k=1):
+        return roll(a, -k, a.ndim - 3 + d)
+
+    def down(a, d, k=1):
+        return roll(a, k, a.ndim - 3 + d)
+
+    # ---- normal sweeps (roll form of _sweep_normal) -------------------
+    waves = {}
+    cfl = None
+    for d in range(3):
+        dtdx = dt / deltas[d]
+        q_l, q_r = q, up(q, d)
+        wave, s, amdq, apdq = rp(d, q_l, q_r, None, None, params)
+        cqxx = None
+        if order == 2:
+            # limiter on full-shape interface arrays (roll form of
+            # tvd.limiter_phi: dot_r[k] = <W_k, W_{k+1}>)
+            num_waves = wave.shape[1]
+            wnorm2 = jnp.sum(wave * wave, axis=0)
+            ddot = jnp.sum(wave * up(wave, d), axis=0)
+            dotu = jnp.where(s > 0.0, down(ddot, d), ddot)
+            safe = wnorm2 > 0.0
+            theta = jnp.where(safe, dotu / jnp.where(safe, wnorm2, 1.0),
+                              0.0)
+            phis = []
+            for p in range(num_waves):
+                lid = mthlim[p] if p < len(mthlim) else mthlim[-1]
+                if lid == 0:
+                    phis.append(jnp.ones_like(theta[p]))
+                else:
+                    if int(lid) in tvd.CFL_LIMITER_IDS:
+                        nu = jnp.abs(s[p]) * dtdx
+                        ph = tvd._phi_cfl(int(lid), theta[p], nu)
+                    else:
+                        ph = tvd._phi(int(lid), theta[p])
+                    phis.append(jnp.where(safe[p], ph, 1.0))
+            phi = jnp.stack(phis)
+            abss = jnp.abs(s)
+            coef = 0.5 * abss * (1.0 - abss * dtdx)
+            cqxx = jnp.sum((coef * phi)[None] * wave, axis=1)
+        waves[d] = (amdq, apdq, cqxx)
+
+        # CFL over interfaces touching interior cells (real extents)
+        sl = [slice(0, real[d2]) for d2 in range(3)]
+        sl[d] = slice(g - 1, real[d] - g)
+        for d2 in range(3):
+            if d2 != d:
+                sl[d2] = slice(g, real[d2] - g)
+        s_int = s[(slice(None),) + tuple(sl)]
+        c = dtdx * jnp.max(jnp.abs(s_int))
+        cfl = c if cfl is None else jnp.maximum(cfl, c)
+
+    # ---- transverse corner transport (roll form of _step3_update) -----
+    F = {}
+    for d in range(3):
+        amdq, apdq, cqxx = waves[d]
+        F[d] = cqxx if cqxx is not None else jnp.zeros_like(amdq)
+
+    if rpt is not None and transverse_waves > 0:
+        for d in range(3):
+            q_l, q_r = q, up(q, d)
+            kwd = {} if prefactor is None else {
+                "eig": prefactor(d, q_l, q_r, None, None, params)}
+            amdq, apdq, cqdd = waves[d]
+            if transverse_waves >= 2 and cqdd is not None:
+                amdq, apdq = amdq + cqdd, apdq - cqdd
+            for e in range(3):
+                if e == d:
+                    continue
+                half = 0.5 * (dt / deltas[d])
+                f = 3 - d - e
+                coeff2 = (dt * dt) / (6.0 * deltas[d] * deltas[e])
+                own = {}
+                cross = {}
+                fe_blocks = {}
+                for imp in (1, 2):
+                    asdq = amdq if imp == 1 else apdq
+                    bm, bp = rpt(d, imp, q_l, q_r, None, None, asdq,
+                                 params, trans_axis=e, **kwd)
+                    i0 = imp - 1
+                    # below-going feeds e-interface j-1, above-going j
+                    fe_blocks[i0] = -(half * up(bm, e) + half * bp)
+                    if rptt is not None and transverse_waves >= 2:
+                        for b_part, e_dir in ((bm, -1), (bp, 1)):
+                            cm, cp = rptt(d, 2 + (f > e), imp, e_dir,
+                                          q_l, q_r, None, None, b_part,
+                                          params, trans_axis=f, **kwd)
+                            sgn = float(e_dir)
+                            for c_part, f_off in ((cm, -1), (cp, 0)):
+                                cs = up(c_part, f) if f_off == -1 \
+                                    else c_part
+                                t = sgn * coeff2 * cs
+                                own[i0] = (t if i0 not in own
+                                           else own[i0] + t)
+                                if e_dir > 0:
+                                    blk = -down(t, e)
+                                    key = (i0, 1)
+                                else:
+                                    blk = -up(t, e)
+                                    key = (i0, 0)
+                                cross[key] = (blk if key not in cross
+                                              else cross[key] + blk)
+                acc = None
+                for i0 in sorted(own):
+                    p2 = down(own[i0], d, i0) if i0 else own[i0]
+                    acc = p2 if acc is None else acc + p2
+                for i0, e_start in sorted(cross):
+                    blk = cross[(i0, e_start)]
+                    # NOTE: blk already carries its e-shift; the embed
+                    # offset along d remains
+                    p2 = down(blk, d, i0) if i0 else blk
+                    acc = acc + p2
+                if acc is not None:
+                    F[f] = F[f] + acc
+                if fe_blocks:
+                    F[e] = F[e] + (fe_blocks[0]
+                                   + down(fe_blocks[1], d))
+
+    # ---- assemble update ---------------------------------------------
+    dq_tot = jnp.zeros_like(q)
+    for d in range(3):
+        amdq, apdq, _ = waves[d]
+        term = down(apdq, d) + amdq + (F[d] - down(F[d], d))
+        dq_tot = dq_tot + (dt / deltas[d]) * term
+    q_new = q - dq_tot
+    out = q_new
+    for d in range(3):
+        out = _slc(out, 1 + d, slice(g, shape[d] - g))
+    return out, cfl
+
+
 def step2_tiled(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order, fwave,
                 index_capa, num_ghost, transverse_waves=2, tile_rows=128,
                 prefactor=None):

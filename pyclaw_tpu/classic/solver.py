@@ -449,6 +449,47 @@ class ClawSolver3D(ClawSolver):
         tw = self.transverse_waves
         tile_rows = getattr(self, "soa_tile_rows", 16)
         prefactor = self.rp.prefactor
+        if self.backend == "pallas":
+            # round-5 fused (x,y)-tiled Mosaic kernel (full corner
+            # transport in one VMEM-resident program per tile): 322 M
+            # cell-updates/s at 192^3 f32 on a v5e vs 85.9 M for the
+            # XLA tiled driver.  Aux-free wave-form systems only; the
+            # XLA path remains the fallback for everything else.
+            nx3, ny3, nz3 = state.patch.num_cells_global
+            # tile preference from the 192^3 on-chip scans ((8,24) and
+            # (16,16) lead; per-run ordering moves inside the ~+/-15%
+            # 3D chip-state band, so this is a reasonable default, not
+            # a sharp optimum)
+            tile3 = next((t for t in ((8, 24), (16, 16), (8, 16), (8, 8))
+                          if nx3 % t[0] == 0 and ny3 % t[1] == 0), None)
+            if (state.aux is None and index_capa < 0 and not fwave
+                    and tile3 is not None):
+                from ..ops import tiled2d
+                tx3, ty3 = tile3
+                lanes3 = nz3 + 2 * g + (-(nz3 + 2 * g)) % 128
+                fetch3 = ty3 + 2 * g + (-(ty3 + 2 * g)) % 8
+                need3 = (96.0 * (lanes3 / 256.0)
+                         * ((tx3 + 4) * fetch3 / 288.0))
+                vmem3 = min(112, max(48, int(need3)))
+
+                def kern3(qbc, auxbc, dt, t):
+                    return tiled2d.step3_pallas_xy(
+                        qbc, dt, dx, dy, dz, rp, rpt, rptt, params,
+                        mthlim, order, g, transverse_waves=tw,
+                        prefactor=prefactor, tile=tile3,
+                        vmem_limit_mb=vmem3)
+
+                # (measured negative result: routing the 3D BC build
+                # through the fused-pad extend_aligned path was 17%
+                # SLOWER — 229 vs 276 M cups at 192^3: a 3-axis
+                # mode='wrap' jnp.pad with alignment tails lowers worse
+                # than the concat extend + in-kernel pad it replaces.
+                # The fused-BC wrapper stays 2D-only.)
+                return self._wrap_bc_kernel(kern3, state)
+            raise ValueError(
+                "backend='pallas' 3D needs an aux-free wave-form system "
+                "on a grid with nx divisible by 8 and ny by 8/16; use "
+                "backend='xla' (docs/performance.md)")
         # measured on-chip (r4): stacking the asdq batches REGRESSED the
         # 192^3 step 63.5 -> 53.4 M cups (the stacks materialize); off by
         # default, kept as a tuning knob for other device generations

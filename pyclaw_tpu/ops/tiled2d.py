@@ -355,6 +355,101 @@ def dq_pallas_rows(qbc, dt, dx, dy, rpn_soa, params, weno_order,
     return dq_out, jnp.max(cfl_tiles)
 
 
+def step3_pallas_xy(qbc, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim,
+                    order, num_ghost, transverse_waves=2, prefactor=None,
+                    tile=(8, 8), vmem_limit_mb=None,
+                    prepadded_interior=None):
+    """(x, y)-tiled fused classic 3D step (full Langseth-LeVeque corner
+    transport) — the Pallas analog of kernels.step3_tiled with the
+    Mosaic-legal geometry of :func:`step2_pallas_rows`:
+
+      * the x axis (dim 1, untiled in the (8,128) layout) is sliced
+        freely: DMA exactly tile_x + 2g rows, no over-fetch;
+      * the y axis (dim 2, sublane) uses 8-aligned over-fetch DMAs
+        (tile_y multiple of 8, fetch = tile_y + 8 for g = 2);
+      * the z axis (dim 3, lane) rides whole, padded to a 128-multiple
+        with dead cells the roll body's clipping and real-extent CFL
+        windows never read;
+      * the body is :func:`kernels.step3_roll` (shape-uniform roll form,
+        bit-identical to step3) on the (ne, tx+2g, ty+2g, z) sub-slab.
+
+    Aux-free/no-capacity systems only (euler_3D-class).  qbc
+    (num_eqn, nx, ny, nz) ghost-padded -> (q interior, cfl).
+    ``prepadded_interior``: as in :func:`step2_pallas_rows`."""
+    g = num_ghost
+    num_eqn = qbc.shape[0]
+    if prepadded_interior is not None:
+        nx, ny, nz = prepadded_interior
+        nxg, nyg, nzg = nx + 2 * g, ny + 2 * g, nz + 2 * g
+    else:
+        _, nxg, nyg, nzg = qbc.shape
+        nx, ny, nz = nxg - 2 * g, nyg - 2 * g, nzg - 2 * g
+    tx, ty = tile
+    if nx % tx or ny % ty or ty % 8:
+        raise ValueError(
+            f"step3_pallas_xy: tile {tile} must divide the interior "
+            f"({nx},{ny}) with tile_y a multiple of 8")
+    fetch_y = ty + 2 * g + (-(ty + 2 * g)) % 8
+    pad_y = max(0, (ny - ty + fetch_y) - nyg)
+    pad_z = (-nzg) % 128
+    if prepadded_interior is not None:
+        assert (qbc.shape[2] >= nyg + pad_y
+                and qbc.shape[3] == nzg + pad_z), \
+            (qbc.shape, (nyg + pad_y, nzg + pad_z))
+    else:
+        qbc = jnp.pad(qbc, ((0, 0), (0, 0), (0, pad_y), (0, pad_z)))
+    lanes = nzg + pad_z
+    grid = (nx // tx, ny // ty)
+
+    from ..classic import kernels as ck
+
+    def kernel(dt_ref, q_hbm, out_ref, cfl_ref, slab, sem):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        dma = pltpu.make_async_copy(
+            q_hbm.at[:, pl.ds(i * tx, tx + 2 * g),
+                     pl.ds(j * ty, fetch_y)],
+            slab, sem)
+        dma.start()
+        dma.wait()
+        sub = slab[:, :, :ty + 2 * g, :]
+
+        def roll_tpu(a, shift, axis):
+            return pltpu.roll(a, jnp.int32(shift % a.shape[axis]), axis)
+        q_new, cfl = ck.step3_roll(
+            sub, dt_ref[0], dx, dy, dz, rp, rpt, rptt, params, mthlim,
+            order, g, transverse_waves=transverse_waves,
+            prefactor=prefactor, roll=roll_tpu,
+            cfl_shape=(tx + 2 * g, ty + 2 * g, nzg))
+        out_ref[...] = q_new[:, :, :, :nz]
+        cfl_ref[i, j] = cfl
+
+    kw = {}
+    if vmem_limit_mb is not None and not _interpret():
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024)
+    from . import mosaic_ctx
+    with mosaic_ctx(qbc.dtype):
+        q_out, cfl_tiles = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=(pl.BlockSpec((num_eqn, tx, ty, nz),
+                                    lambda i, j: (0, i, j, 0)),
+                       pl.BlockSpec(memory_space=pltpu.SMEM)),
+            out_shape=(jax.ShapeDtypeStruct((num_eqn, nx, ny, nz),
+                                            qbc.dtype),
+                       jax.ShapeDtypeStruct(grid, qbc.dtype)),
+            scratch_shapes=[pltpu.VMEM((num_eqn, tx + 2 * g, fetch_y,
+                                        lanes), qbc.dtype),
+                            pltpu.SemaphoreType.DMA],
+            interpret=_interpret(),
+            **kw,
+        )(jnp.asarray(dt, qbc.dtype).reshape(1), qbc)
+    return q_out, jnp.max(cfl_tiles)
+
+
 def step2_pallas_tiled_generic(qbc, auxbc, dt, dx, dy, rp, rpt, params,
                                mthlim, order, fwave, index_capa,
                                num_ghost, transverse_waves=2,

@@ -206,7 +206,8 @@ class Solver:
         from . import bc as bcmod
         base = Solver._wrap_bc_kernel
         overridden = type(self)._wrap_bc_kernel is not base
-        if overridden or state.aux is not None or self.num_dim != 2:
+        if (overridden or state.aux is not None
+                or self.num_dim != len(tail)):
             return None
         g = self.num_ghost
         lower = tuple(self.bc_lower)

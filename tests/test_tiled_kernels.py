@@ -239,3 +239,57 @@ def test_dq_3d_two_axis_tiled_matches_monolithic():
     q_u, c_u = _sharpclaw_3d(0)
     np.testing.assert_allclose(q_t, q_u, atol=1e-14)
     assert abs(c_t - c_u) < 1e-14
+
+
+def test_step3_roll_bitexact():
+    """kernels.step3_roll (the Pallas 3D body) must reproduce step3
+    bit-for-bit on the interior for every transverse mode."""
+    from pyclaw_tpu.classic import kernels
+
+    rp = riemann.euler_3D
+    rng = np.random.default_rng(3)
+    n = 16
+    q = np.ones((5, n, n, n))
+    q[0] = 1.0 + 0.1 * rng.random((n, n, n))
+    q[1:4] = 0.2 * rng.random((3, n, n, n))
+    q[4] = 2.5 + 0.2 * rng.random((n, n, n))
+    qj = jnp.asarray(q)
+    params = {"gamma": 1.4}
+    for tw in (0, 1, 2):
+        a, ca = kernels.step3(qj, None, 1e-3, 0.1, 0.1, 0.1, rp.rp,
+                              rp.rpt, rp.rptt, params, (4,) * 3, 2,
+                              False, -1, 2, transverse_waves=tw,
+                              prefactor=rp.prefactor)
+        b, cb = kernels.step3_roll(qj, 1e-3, 0.1, 0.1, 0.1, rp.rp,
+                                   rp.rpt, rp.rptt, params, (4,) * 3, 2,
+                                   2, transverse_waves=tw,
+                                   prefactor=rp.prefactor)
+        assert bool(jnp.all(a == b)) and float(ca) == float(cb)
+
+
+def test_step3_pallas_xy_matches_tiled():
+    """The (x,y)-tiled Pallas 3D kernel (interpret mode on CPU) vs the
+    XLA tiled driver — multi-tile, full corner transport."""
+    from pyclaw_tpu.classic import kernels
+    from pyclaw_tpu.ops import tiled2d
+
+    rp = riemann.euler_3D
+    rng = np.random.default_rng(7)
+    n = 16
+    g = 2
+    q = np.ones((5, n + 2 * g, n + 2 * g, n + 2 * g))
+    q[0] = 1.0 + 0.1 * rng.random(q.shape[1:])
+    q[1:4] = 0.1 * rng.random((3,) + q.shape[1:])
+    q[4] = 2.5 + 0.1 * rng.random(q.shape[1:])
+    qj = jnp.asarray(q)
+    params = {"gamma": 1.4}
+    a, ca = kernels.step3_tiled(qj, None, 1e-3, 0.1, 0.1, 0.1, rp.rp,
+                                rp.rpt, rp.rptt, params, (4,) * 3, 2,
+                                False, -1, g, transverse_waves=2,
+                                tile_rows=4, prefactor=rp.prefactor)
+    b, cb = tiled2d.step3_pallas_xy(qj, 1e-3, 0.1, 0.1, 0.1, rp.rp,
+                                    rp.rpt, rp.rptt, params, (4,) * 3,
+                                    2, g, transverse_waves=2,
+                                    prefactor=rp.prefactor, tile=(8, 8))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-13)
+    assert abs(float(ca) - float(cb)) < 1e-13
