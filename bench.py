@@ -57,9 +57,20 @@ def _measure(step, q, dt, nsteps, n0=20):
         return best, s
 
     timed(n0)                        # compile + warm caches
-    t_small, _ = timed(n0)
-    t_big, s_big = timed(n0 + nsteps)
-    return t_big - t_small, bool(np.isfinite(s_big))
+    # guarded differencing (CLAUDE.md: the tunnel's readback jitter is
+    # ~10-30 ms and occasional outliers are larger — a warm-cache run
+    # once returned a NEGATIVE difference): every bench workload's true
+    # differenced time is >= 0.1 s, so anything under 50 ms is jitter —
+    # retry with fresh timings rather than report garbage
+    for attempt in range(4):
+        t_small, _ = timed(n0)
+        t_big, s_big = timed(n0 + nsteps)
+        elapsed = t_big - t_small
+        if elapsed > 0.05:
+            return elapsed, bool(np.isfinite(s_big))
+    raise RuntimeError(
+        f"differenced timing stayed under 50 ms across retries "
+        f"(last={elapsed:.4f}s) — readback jitter dominated")
 
 
 def main(mx=1024, my=1024, nsteps=300, dtype="float32", sc_steps=60):
@@ -116,21 +127,32 @@ def main(mx=1024, my=1024, nsteps=300, dtype="float32", sc_steps=60):
     # default integrator) plus SSP33 (cfg4's literal "SSP-RK3") --------
     sc = {}
     try:
-        claw2 = setup(mx=mx, my=my, solver_type="sharpclaw", outdir=None,
-                      dtype=dtype)
-        solver2 = claw2.solver
-        solver2.setup(claw2.solution)
-        q2 = jnp.asarray(claw2.solution.state.q)
-        dt2 = 0.1 * (1.0 / mx)
-        el2, ok2 = _measure(solver2._step_fn, q2, dt2, sc_steps)
-        sc = {
-            "cell_updates_per_sec": round(cells * sc_steps / el2, 1),
-            "nsteps": sc_steps,
-            "elapsed_s": round(el2, 4),
-            "compile_finite": ok2,
-        }
+        for backend2 in ("pallas", "xla"):
+            try:
+                claw2 = setup(mx=mx, my=my, solver_type="sharpclaw",
+                              outdir=None, dtype=dtype,
+                              kernel_language=backend2)
+                solver2 = claw2.solver
+                solver2.setup(claw2.solution)
+                q2 = jnp.asarray(claw2.solution.state.q)
+                dt2 = 0.1 * (1.0 / mx)
+                el2, ok2 = _measure(solver2._step_fn, q2, dt2, sc_steps)
+                if not ok2:
+                    raise RuntimeError("non-finite result")
+                sc = {
+                    "cell_updates_per_sec":
+                        round(cells * sc_steps / el2, 1),
+                    "nsteps": sc_steps,
+                    "elapsed_s": round(el2, 4),
+                    "compile_finite": ok2,
+                    "kernel_backend": backend2,
+                }
+                break
+            except Exception as e2:
+                sc = {"error": repr(e2)[:200]}
         claw3 = setup(mx=mx, my=my, solver_type="sharpclaw", outdir=None,
-                      dtype=dtype)
+                      dtype=dtype,
+                      kernel_language=sc.get("kernel_backend", "xla"))
         claw3.solver.time_integrator = "SSP33"
         claw3.solver.setup(claw3.solution)
         q33 = jnp.asarray(claw3.solution.state.q)
@@ -213,7 +235,12 @@ def main(mx=1024, my=1024, nsteps=300, dtype="float32", sc_steps=60):
         else:
             res = validate(deadline_s=budget)
             ran = [r for r in res.values() if r.get("ok") is not None]
-            golden = {"all_ok": bool(ran) and all(r.get("ok") for r in ran),
+            # all_ok: True/False over the cases that RAN; None when the
+            # time budget skipped everything (no correctness claim
+            # either way — distinguish from a measured failure)
+            golden = {"all_ok": (all(r.get("ok") for r in ran)
+                                 if ran else None),
+                      "ran": len(ran), "skipped": len(res) - len(ran),
                       "cases": res}
     except Exception as e:  # never sink the headline
         golden = {"error": repr(e)}
