@@ -342,6 +342,167 @@ def step2(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order, fwave,
     return q_new[:, g - 1:nx - 1 - g, g - 1:ny - 1 - g], cfl
 
 
+def step2_roll(q, aux, dt, dx, dy, rp, rpt, params, mthlim, order, fwave,
+               index_capa, num_ghost, transverse_waves=2, prefactor=None,
+               roll=jnp.roll, cfl_shape=None):
+    """Shape-uniform roll form of the GENERIC :func:`step2` for the
+    Pallas/Mosaic backend (round 5) — the aux/capacity/fwave-capable
+    companion of ``soa.step2_soa_roll`` (see there and
+    :func:`step3_roll` for the roll-form/garbage-containment rationale;
+    the shift depth is the same <= 2 cells per axis per side, inside
+    the g = 2 apron).  Interior values are bit-identical to step2 at
+    matching accumulation order (tests/test_tiled_kernels.py).
+    ``cfl_shape``: real (rows, cols) extents when the caller padded for
+    DMA alignment."""
+    g = num_ghost
+    num_eqn, nx, ny = q.shape
+    nxr, nyr = cfl_shape if cfl_shape is not None else (nx, ny)
+
+    def up(a, axis, k=1):
+        return roll(a, -k, a.ndim - 2 + axis)
+
+    def down(a, axis, k=1):
+        return roll(a, k, a.ndim - 2 + axis)
+
+    capa = aux[index_capa] if index_capa >= 0 else None
+    if capa is None:
+        dtdx = dt / dx
+        dtdy = dt / dy
+    else:
+        dtdx = dt / (dx * capa)
+        dtdy = dt / (dy * capa)
+
+    def sweep(ixy, dtdx_cells):
+        q_l, q_r = q, up(q, ixy)
+        aux_l = aux_r = None
+        if aux is not None:
+            aux_l, aux_r = aux, up(aux, ixy)
+        wave, s, amdq, apdq = rp(ixy, q_l, q_r, aux_l, aux_r, params)
+        cqxx = None
+        dtdxave = None
+        if order == 2:
+            if jnp.ndim(dtdx_cells) == 0:
+                dtdxave = dtdx_cells
+            else:
+                dtdxave = 0.5 * (dtdx_cells + up(dtdx_cells, ixy))
+            # roll-form limiter_phi (dot_r[k] = <W_k, W_{k+1}>)
+            num_waves = wave.shape[1]
+            wnorm2 = jnp.sum(wave * wave, axis=0)
+            ddot = jnp.sum(wave * up(wave, ixy), axis=0)
+            dotu = jnp.where(s > 0.0, down(ddot, ixy), ddot)
+            safe = wnorm2 > 0.0
+            theta = jnp.where(safe,
+                              dotu / jnp.where(safe, wnorm2, 1.0), 0.0)
+            phis = []
+            for p in range(num_waves):
+                lid = mthlim[p] if p < len(mthlim) else mthlim[-1]
+                if lid == 0:
+                    phis.append(jnp.ones_like(theta[p]))
+                else:
+                    if int(lid) in tvd.CFL_LIMITER_IDS:
+                        nu = jnp.abs(s[p]) * dtdxave
+                        ph = tvd._phi_cfl(int(lid), theta[p], nu)
+                    else:
+                        ph = tvd._phi(int(lid), theta[p])
+                    phis.append(jnp.where(safe[p], ph, 1.0))
+            phi = jnp.stack(phis)
+            cqxx = _correction_flux(wave, phi, s, dtdxave, fwave)
+        return s, amdq, apdq, cqxx
+
+    sx, amdqx, apdqx, cqxx = sweep(0, dtdx)
+    sy, amdqy, apdqy, cqyy = sweep(1, dtdy)
+
+    # CFL over interfaces touching the interior (real extents only)
+    sx_int = sx[:, g - 1:nxr - g, g:nyr - g]
+    sy_int = sy[:, g:nxr - g, g - 1:nyr - g]
+    if capa is None:
+        cflx = dtdx * jnp.max(jnp.abs(sx_int))
+        cfly = dtdy * jnp.max(jnp.abs(sy_int))
+    else:
+        # NOTE: slice FIRST, then expand_dims — a combined
+        # [None, slice, slice] index lowers to a gather, which Mosaic
+        # cannot lower in-kernel
+        dxu, dyu = up(dtdx, 0), up(dtdy, 1)
+
+        def w(a, sl):
+            return jnp.expand_dims(a[sl], 0)
+        slx2 = (slice(g - 1, nxr - g), slice(g, nyr - g))
+        sly2 = (slice(g, nxr - g), slice(g - 1, nyr - g))
+        cflx = jnp.max(jnp.maximum(sx_int * w(dxu, slx2),
+                                   -sx_int * w(dtdx, slx2)))
+        cfly = jnp.max(jnp.maximum(sy_int * w(dyu, sly2),
+                                   -sy_int * w(dtdy, sly2)))
+    cfl = jnp.maximum(cflx, cfly)
+
+    Fx = cqxx if cqxx is not None else jnp.zeros_like(amdqx)
+    Gy = cqyy if cqyy is not None else jnp.zeros_like(amdqy)
+
+    if rpt is not None and transverse_waves > 0:
+        if transverse_waves >= 2 and cqxx is not None:
+            amdqx_t, apdqx_t = amdqx + cqxx, apdqx - cqxx
+        else:
+            amdqx_t, apdqx_t = amdqx, apdqx
+        qx_l, qx_r = q, up(q, 0)
+        auxx_l = auxx_r = None
+        if aux is not None:
+            auxx_l, auxx_r = aux, up(aux, 0)
+        kwx = {} if prefactor is None else {
+            "eig": prefactor(0, qx_l, qx_r, auxx_l, auxx_r, params)}
+        bm_am, bp_am = rpt(0, 1, qx_l, qx_r, auxx_l, auxx_r, amdqx_t,
+                           params, **kwx)
+        bm_ap, bp_ap = rpt(0, 2, qx_l, qx_r, auxx_l, auxx_r, apdqx_t,
+                           params, **kwx)
+
+        def contrib_x(bm, bp, i0):
+            if capa is None:
+                c_lo = c_hi = 0.5 * dtdx
+            else:
+                dd = up(dtdx, 0, i0) if i0 else dtdx
+                c_lo = 0.5 * up(dd, 1)[None]
+                c_hi = 0.5 * dd[None]
+            block = c_lo * up(bm, 1) + c_hi * bp
+            return down(block, 0, i0) if i0 else block
+
+        Gy = Gy - contrib_x(bm_am, bp_am, 0) - contrib_x(bm_ap, bp_ap, 1)
+
+        if transverse_waves >= 2 and cqyy is not None:
+            amdqy_t, apdqy_t = amdqy + cqyy, apdqy - cqyy
+        else:
+            amdqy_t, apdqy_t = amdqy, apdqy
+        qy_l, qy_r = q, up(q, 1)
+        auxy_l = auxy_r = None
+        if aux is not None:
+            auxy_l, auxy_r = aux, up(aux, 1)
+        kwy = {} if prefactor is None else {
+            "eig": prefactor(1, qy_l, qy_r, auxy_l, auxy_r, params)}
+        am_bm, ap_bm = rpt(1, 1, qy_l, qy_r, auxy_l, auxy_r, amdqy_t,
+                           params, **kwy)
+        am_bp, ap_bp = rpt(1, 2, qy_l, qy_r, auxy_l, auxy_r, apdqy_t,
+                           params, **kwy)
+
+        def contrib_y(am, ap, j0):
+            if capa is None:
+                c_lo = c_hi = 0.5 * dtdy
+            else:
+                dd = up(dtdy, 1, j0) if j0 else dtdy
+                c_lo = 0.5 * up(dd, 0)[None]
+                c_hi = 0.5 * dd[None]
+            block = c_lo * up(am, 0) + c_hi * ap
+            return down(block, 1, j0) if j0 else block
+
+        Fx = Fx - contrib_y(am_bm, ap_bm, 0) - contrib_y(am_bp, ap_bp, 1)
+
+    if capa is None:
+        dtdx_c, dtdy_c = dtdx, dtdy
+    else:
+        dtdx_c, dtdy_c = dtdx, dtdy       # full-shape per-cell arrays
+
+    dq = (down(apdqx, 0) + amdqx + Fx - down(Fx, 0)) * dtdx_c \
+        + (down(apdqy, 1) + amdqy + Gy - down(Gy, 1)) * dtdy_c
+    q_new = q - dq
+    return q_new[:, g:nx - g, g:ny - g], cfl
+
+
 # ======================================================================
 # 3D unsplit (step3 + flux3 with pairwise transverse corner transport)
 # ======================================================================

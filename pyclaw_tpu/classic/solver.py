@@ -195,10 +195,15 @@ class ClawSolver2D(ClawSolver):
             # 0.93 G for the XLA row-tiled driver (docs/performance.md).
             rows_tile = next((t for t in (32, 16, 8)
                               if nx % t == 0), None)
-            if (self._soa_eligible(state) and ny % 128 == 0
-                    and rows_tile is not None):
-                rpn_soa = self.rp.rpn_soa
-                rpt_soa = self.rp.rpt_soa
+            if ny % 128 == 0 and rows_tile is not None:
+                # SoA roll body when eligible, generic-AoS roll body
+                # (kernels.step2_roll: aux/capacity/fwave) otherwise
+                if self._soa_eligible(state):
+                    rpn_soa = self.rp.rpn_soa
+                    rpt_soa = self.rp.rpt_soa
+                else:
+                    rpn_soa = rpt_soa = None
+                prefac = self.rp.prefactor
                 # scoped-VMEM need scales with (DMA rows) x (padded
                 # lanes); measured ~16.2 MB at tile 32 x 1152 lanes
                 # (1024^2 grid) and ~110 MB suffices at 4224 lanes
@@ -215,7 +220,8 @@ class ClawSolver2D(ClawSolver):
                         qbc, auxbc, dt, dx, dy, rp, rpt, params, mthlim,
                         order, fwave, index_capa, g, rpn_soa=rpn_soa,
                         rpt_soa=rpt_soa, transverse_waves=tw,
-                        tile_rows=rows_tile, vmem_limit_mb=vmem_mb)
+                        tile_rows=rows_tile, vmem_limit_mb=vmem_mb,
+                        prefactor=prefac)
 
                 # single-pass aligned BC build (skips the kernel's
                 # internal alignment pad); falls back to the generic
@@ -229,7 +235,7 @@ class ClawSolver2D(ClawSolver):
                         order, fwave, index_capa, g, rpn_soa=rpn_soa,
                         rpt_soa=rpt_soa, transverse_waves=tw,
                         tile_rows=rows_tile, vmem_limit_mb=vmem_mb,
-                        prepadded_interior=(nx, ny))
+                        prepadded_interior=(nx, ny), prefactor=prefac)
                 aligned = self._wrap_bc_kernel_aligned(
                     kern_rows_pre, state, (pad_rows, pad_lanes))
                 if aligned is not None:

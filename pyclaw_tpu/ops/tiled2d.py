@@ -108,7 +108,8 @@ def step2_pallas_tiled(qbc, dt, dx, dy, rpn_soa, rpt_soa, params, mthlim,
 def step2_pallas_rows(qbc, auxbc, dt, dx, dy, rp, rpt, params, mthlim,
                       order, fwave, index_capa, num_ghost, rpn_soa=None,
                       rpt_soa=None, transverse_waves=2, tile_rows=16,
-                      vmem_limit_mb=None, prepadded_interior=None):
+                      vmem_limit_mb=None, prepadded_interior=None,
+                      prefactor=None):
     """Row-tiled fused 2D unsplit step — the Mosaic-legal tile geometry
     for this toolchain (round 5).
 
@@ -199,22 +200,24 @@ def step2_pallas_rows(qbc, auxbc, dt, dx, dy, rp, rpt, params, mthlim,
             adma.wait()
         dma.wait()
         sub = slab[:, :tm + 2 * g, :]
+
+        # shape-uniform roll bodies: Mosaic cannot legalize the
+        # pad/concat interface assembly of the XLA-tuned kernels
+        def roll_tpu(a, shift, axis):
+            return pltpu.roll(a, jnp.int32(shift % a.shape[axis]), axis)
         if rpn_soa is not None:
-            # shape-uniform roll body: Mosaic cannot legalize the
-            # pad/concat interface assembly of the XLA-tuned step2_soa
-            def roll_tpu(a, shift, axis):
-                return pltpu.roll(a, jnp.int32(shift % a.shape[axis]),
-                                  axis)
             q_new, cfl = soa.step2_soa_roll(
                 sub, dt_ref[0], dx, dy, rpn_soa, rpt_soa, params,
                 mthlim, order, g, transverse_waves=transverse_waves,
                 roll=roll_tpu, cfl_shape=(tm + 2 * g, nyg))
         else:
+            # generic AoS roll body: aux/capacity/fwave systems
             aux_t = aslab[:, :tm + 2 * g, :] if has_aux else None
-            q_new, cfl = kernels.step2(
+            q_new, cfl = kernels.step2_roll(
                 sub, aux_t, dt_ref[0], dx, dy, rp, rpt, params, mthlim,
                 order, fwave, index_capa, g,
-                transverse_waves=transverse_waves)
+                transverse_waves=transverse_waves, prefactor=prefactor,
+                roll=roll_tpu, cfl_shape=(tm + 2 * g, nyg))
         out_ref[...] = q_new[:, :, :ny]      # drop the dead lanes
         cfl_ref[i] = cfl
 

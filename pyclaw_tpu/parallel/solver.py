@@ -34,6 +34,18 @@ class _DistributedMixin:
         # "north star requires this"); False = blocking halo prefix.
         self.overlap_halo = True
 
+    def setup(self, solution):
+        if self.backend == "pallas":
+            # the fused Mosaic kernels assume serial block geometry
+            # (the halo-overlap path feeds 3g-wide boundary bands that
+            # violate their tile constraints); distributed runs use the
+            # XLA kernels, which run unchanged inside shard_map
+            self.logger.warning(
+                "backend='pallas' is single-chip in this release; "
+                "distributed runs use the XLA kernels")
+            self.backend = "xla"
+        super().setup(solution)
+
     # -- seam 1: halo exchange (replaces serial BC extension) ----------
     def _extend_bc(self, q, aux, t, state):
         g = self.num_ghost

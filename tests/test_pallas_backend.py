@@ -258,3 +258,73 @@ def test_dq_soa_roll_bitexact():
                                       positivity=rp.positivity,
                                       flux_soa=flux)
         assert bool(jnp.all(a == b)) and float(ca) == float(cb)
+
+
+def test_rows_kernel_generic_aux_capacity_matches_xla():
+    """The generic-AoS roll body (kernels.step2_roll) through the solver
+    dispatch: an aux+capacity system (annulus-class vc advection) on a
+    128-multiple width — one fixed-dt step vs the XLA path."""
+    from advection_2d_annulus import setup
+    runs = {}
+    for backend in ("xla", "pallas"):
+        claw = setup(mr=64, mth=128, outdir=None)
+        s = claw.solver
+        s.backend = backend
+        s.setup(claw.solution)
+        q = jnp.asarray(claw.solution.state.q)
+        aux = jnp.asarray(claw.solution.state.aux)
+        qn, cfl = s._step_fn(q, aux, 1e-4, 0.0)
+        runs[backend] = (np.asarray(qn), float(cfl))
+    np.testing.assert_allclose(runs["pallas"][0], runs["xla"][0],
+                               atol=1e-14)
+    assert abs(runs["pallas"][1] - runs["xla"][1]) < 1e-14
+
+
+def test_step2_roll_bitexact_generic():
+    """kernels.step2_roll == step2 bit-for-bit: euler (tw 0/1/2),
+    vc advection with aux+capacity, and an fwave bathymetry system."""
+    from pyclaw_tpu.classic import kernels
+
+    rng = np.random.default_rng(4)
+    rp = riemann.euler_4wave_2D
+    q = np.ones((4, 24, 36))
+    q[0] = 1.0 + 0.1 * rng.random((24, 36))
+    q[1] = 0.1
+    q[2] = 0.05
+    q[3] = 2.5 + 0.1 * rng.random((24, 36))
+    qj = jnp.asarray(q)
+    for tw in (0, 1, 2):
+        a, ca = kernels.step2(qj, None, 1e-3, 0.1, 0.1, rp.rp, rp.rpt,
+                              {"gamma": 1.4}, (4,) * 4, 2, False, -1, 2,
+                              transverse_waves=tw, prefactor=rp.prefactor)
+        b, cb = kernels.step2_roll(qj, None, 1e-3, 0.1, 0.1, rp.rp,
+                                   rp.rpt, {"gamma": 1.4}, (4,) * 4, 2,
+                                   False, -1, 2, transverse_waves=tw,
+                                   prefactor=rp.prefactor)
+        assert bool(jnp.all(a == b)) and float(ca) == float(cb)
+
+    rp2 = riemann.vc_advection_2D
+    q2 = jnp.asarray(rng.random((1, 24, 36)))
+    aux2 = jnp.asarray(np.stack([1.0 + 0.3 * rng.random((24, 36)),
+                                 0.5 + 0.3 * rng.random((24, 36)),
+                                 1.0 + 0.2 * rng.random((24, 36))]))
+    a, ca = kernels.step2(q2, aux2, 1e-3, 0.1, 0.1, rp2.rp, rp2.rpt, {},
+                          (4,), 2, False, 2, 2, transverse_waves=2)
+    b, cb = kernels.step2_roll(q2, aux2, 1e-3, 0.1, 0.1, rp2.rp, rp2.rpt,
+                               {}, (4,), 2, False, 2, 2,
+                               transverse_waves=2)
+    assert bool(jnp.all(a == b)) and float(ca) == float(cb)
+
+    rp3 = riemann.shallow_bathymetry_fwave_2D
+    q3 = np.ones((3, 24, 36))
+    q3[0] = 2.0 + 0.2 * rng.random((24, 36))
+    q3[1] = 0.1
+    q3[2] = 0.05
+    aux3 = jnp.asarray(0.3 * rng.random((1, 24, 36)))
+    a, ca = kernels.step2(jnp.asarray(q3), aux3, 1e-3, 0.1, 0.1, rp3.rp,
+                          rp3.rpt, {"grav": 9.8}, (4,) * 3, 2, True, -1,
+                          2, transverse_waves=1)
+    b, cb = kernels.step2_roll(jnp.asarray(q3), aux3, 1e-3, 0.1, 0.1,
+                               rp3.rp, rp3.rpt, {"grav": 9.8}, (4,) * 3,
+                               2, True, -1, 2, transverse_waves=1)
+    assert bool(jnp.all(a == b)) and float(ca) == float(cb)
