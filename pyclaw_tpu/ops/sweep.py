@@ -43,49 +43,84 @@ def step1_pallas(qbc, auxbc, dt, dx, rp, params, mthlim, order, fwave,
     has_aux = auxbc is not None
 
     def kernel(*refs):
+        # roll-form body (round 5): Mosaic cannot legalize the
+        # concat-based limiter dot assembly ("result/input offset
+        # mismatch on non-concat dimension"), so every quantity keeps
+        # the full (num_eqn, n) shape with interface k at index k and
+        # circular rolls for neighbor access — the 1D instance of the
+        # kernels.step2_roll/step3_roll scheme, bit-identical on the
+        # interior (wrap garbage depth <= 2 < g)
         if has_aux:
             q_ref, aux_ref, dt_ref, out_ref, cfl_ref = refs
-            aux = aux_ref[:]
+            # lifted to (num, 1, n): Mosaic rejects 1D dynamic_rotates
+            # and mis-lays-out stacks of (n,) pieces inside the rp; with
+            # a dummy row every intermediate is >= 2D exactly like the
+            # (working) 2D/3D kernels
+            aux = aux_ref[:][:, None, :]
         else:
             q_ref, dt_ref, out_ref, cfl_ref = refs
             aux = None
-        q = q_ref[:]
+        q = q_ref[:][:, None, :]
         dtv = dt_ref[0, 0]
 
-        q_l, q_r = q[:, :-1], q[:, 1:]
-        aux_l = aux[:, :-1] if aux is not None else None
-        aux_r = aux[:, 1:] if aux is not None else None
+        def up(a, k=1):
+            return pltpu.roll(a, jnp.int32((-k) % a.shape[-1]),
+                              a.ndim - 1)
+
+        def down(a, k=1):
+            return pltpu.roll(a, jnp.int32(k), a.ndim - 1)
+
+        q_l, q_r = q, up(q)
+        aux_l = aux if aux is not None else None
+        aux_r = up(aux) if aux is not None else None
 
         wave, s, amdq, apdq = rp(0, q_l, q_r, aux_l, aux_r, params)
 
         capa = aux[index_capa] if index_capa >= 0 else None
         if capa is None:
-            dtdx = jnp.full((n,), dtv / dx, dtype=q.dtype)
+            dtdx = jnp.full((1, n), dtv / dx, dtype=q.dtype)
         else:
             dtdx = dtv / (dx * capa)
 
         s_int = s[..., g - 1:n - g]
         cfl_ref[0, 0] = jnp.max(
-            jnp.maximum(s_int * dtdx[g:n - g + 1],
-                        -s_int * dtdx[g - 1:n - g]))
+            jnp.maximum(s_int * up(dtdx)[:, g - 1:n - g],
+                        -s_int * dtdx[:, g - 1:n - g]))
 
-        dq1 = apdq[:, :-1] + amdq[:, 1:]
-        q_new = q[:, 1:-1] - dtdx[1:-1] * dq1
+        q_new = q - dtdx * (down(apdq) + amdq)
 
         if order == 2:
-            # factored phi form (identical to the XLA kernel's traffic
-            # strategy): the limited wave tensor is never materialized
-            dtdxave = 0.5 * (dtdx[:-1] + dtdx[1:])
-            phi = tvd.limiter_phi(num_eqn, wave, s, mthlim, dtdx=dtdxave)
+            # factored phi form (the limited wave tensor is never
+            # materialized), with roll-form limiter dots
+            dtdxave = 0.5 * (dtdx + up(dtdx))
+            wnorm2 = jnp.sum(wave * wave, axis=0)
+            ddot = jnp.sum(wave * up(wave), axis=0)
+            dotu = jnp.where(s > 0.0, down(ddot), ddot)
+            safe = wnorm2 > 0.0
+            theta = jnp.where(safe,
+                              dotu / jnp.where(safe, wnorm2, 1.0), 0.0)
+            phis = []
+            for p in range(wave.shape[1]):
+                lid = mthlim[p] if p < len(mthlim) else mthlim[-1]
+                if lid == 0:
+                    phis.append(jnp.ones_like(theta[p]))
+                else:
+                    if int(lid) in tvd.CFL_LIMITER_IDS:
+                        ph = tvd._phi_cfl(int(lid), theta[p],
+                                          jnp.abs(s[p]) * dtdxave)
+                    else:
+                        ph = tvd._phi(int(lid), theta[p])
+                    phis.append(jnp.where(safe[p], ph, 1.0))
+            phi = jnp.stack(phis)
             abss = jnp.abs(s)
             if fwave:
                 coef = 0.5 * jnp.sign(s) * (1.0 - abss * dtdxave)
             else:
                 coef = 0.5 * abss * (1.0 - abss * dtdxave)
             cqxx = jnp.sum((coef * phi)[None] * wave, axis=1)
-            q_new = q_new - dtdx[1:-1] * (cqxx[:, 1:] - cqxx[:, :-1])
+            q_new = q_new - dtdx * (cqxx - down(cqxx))
 
-        out_ref[:] = q_new[:, g - 1:n - 1 - g]
+        out_ref[:] = q_new[:, 0, g:n - g]
 
     dt_arr = jnp.asarray(dt, dtype=qbc.dtype).reshape(1, 1)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)

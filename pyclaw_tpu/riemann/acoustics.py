@@ -33,11 +33,15 @@ def _rp_acoustics(ixy, q_l, q_r, aux_l, aux_r, params):
     a1 = (-dq[0] + zz * dq[mu]) / (2.0 * zz)    # left-going strength
     a2 = (dq[0] + zz * dq[mu]) / (2.0 * zz)     # right-going strength
 
-    wave = jnp.zeros((num_eqn, 2) + dq.shape[1:], dtype=q_l.dtype)
-    wave = wave.at[0, 0].set(-a1 * zz)
-    wave = wave.at[mu, 0].set(a1)
-    wave = wave.at[0, 1].set(a2 * zz)
-    wave = wave.at[mu, 1].set(a2)
+    # stack-assembled (identical values to a zeros+.at[].set build;
+    # multi-index .at lowers to a scatter, which Mosaic cannot lower
+    # inside the Pallas kernels — round 5)
+    zero = jnp.zeros_like(a1)
+    w1 = [zero] * num_eqn
+    w1[0], w1[mu] = -a1 * zz, a1
+    w2 = [zero] * num_eqn
+    w2[0], w2[mu] = a2 * zz, a2
+    wave = jnp.stack([jnp.stack(w1), jnp.stack(w2)], axis=1)
 
     shape = dq.shape[1:]
     s = jnp.stack([jnp.full(shape, -cc, dq.dtype),
@@ -57,13 +61,12 @@ def _rpt_acoustics(ixy, imp, q_l, q_r, aux_l, aux_r, asdq, params):
     a1 = (-asdq[0] + zz * asdq[mv]) / (2.0 * zz)   # down-going
     a2 = (asdq[0] + zz * asdq[mv]) / (2.0 * zz)    # up-going
 
-    bmasdq = jnp.zeros_like(asdq)
-    bmasdq = bmasdq.at[0].set(cc * a1 * zz)        # -c * (-Z a1)
-    bmasdq = bmasdq.at[mv].set(-cc * a1)
-    bpasdq = jnp.zeros_like(asdq)
-    bpasdq = bpasdq.at[0].set(cc * a2 * zz)
-    bpasdq = bpasdq.at[mv].set(cc * a2)
-    return bmasdq, bpasdq
+    zero = jnp.zeros_like(a1)
+    bm = [zero] * asdq.shape[0]
+    bm[0], bm[mv] = cc * a1 * zz, -cc * a1         # -c * (-Z a1)
+    bp = [zero] * asdq.shape[0]
+    bp[0], bp[mv] = cc * a2 * zz, cc * a2
+    return jnp.stack(bm), jnp.stack(bp)
 
 
 # ---- SoA fast-path variants (classic/soa.py protocol) ----------------
@@ -110,13 +113,12 @@ def _rpt3_acoustics(ixy, imp, q_l, q_r, aux_l, aux_r, asdq, params,
     mv = 1 + trans_axis
     a1 = (-asdq[0] + zz * asdq[mv]) / (2.0 * zz)
     a2 = (asdq[0] + zz * asdq[mv]) / (2.0 * zz)
-    bmasdq = jnp.zeros_like(asdq)
-    bmasdq = bmasdq.at[0].set(cc * a1 * zz)
-    bmasdq = bmasdq.at[mv].set(-cc * a1)
-    bpasdq = jnp.zeros_like(asdq)
-    bpasdq = bpasdq.at[0].set(cc * a2 * zz)
-    bpasdq = bpasdq.at[mv].set(cc * a2)
-    return bmasdq, bpasdq
+    zero = jnp.zeros_like(a1)
+    bm = [zero] * asdq.shape[0]
+    bm[0], bm[mv] = cc * a1 * zz, -cc * a1
+    bp = [zero] * asdq.shape[0]
+    bp[0], bp[mv] = cc * a2 * zz, cc * a2
+    return jnp.stack(bm), jnp.stack(bp)
 
 
 def _evec_acoustics(ixy, q, aux, params):
@@ -149,10 +151,10 @@ def _flux_acoustics(ixy, q, aux, params):
     K = zz*cc, rho = zz/cc (RiemannSolver.flux protocol)."""
     zz, cc = _zc(params)
     mu = 1 + ixy
-    f = jnp.zeros_like(q)
-    f = f.at[0].set((zz * cc) * q[mu])
-    f = f.at[mu].set((cc / zz) * q[0])
-    return f
+    zero = jnp.zeros_like(q[0])
+    f = [zero] * q.shape[0]
+    f[0], f[mu] = (zz * cc) * q[mu], (cc / zz) * q[0]
+    return jnp.stack(f)
 
 
 def _flux_acoustics_soa(ixy, qs, params):
