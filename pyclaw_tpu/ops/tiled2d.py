@@ -183,7 +183,61 @@ def step2_pallas_rows(qbc, auxbc, dt, dx, dy, rp, rpt, params, mthlim,
 
     from ..classic import kernels, soa
 
-    def kernel(*refs):
+    nprog = grid[0]
+
+    def body_on(sub, aux_t, dt_ref, out_ref, cfl_ref, i):
+        # shape-uniform roll bodies: Mosaic cannot legalize the
+        # pad/concat interface assembly of the XLA-tuned kernels
+        def roll_tpu(a, shift, axis):
+            return pltpu.roll(a, jnp.int32(shift % a.shape[axis]), axis)
+        if rpn_soa is not None:
+            q_new, cfl = soa.step2_soa_roll(
+                sub, dt_ref[0], dx, dy, rpn_soa, rpt_soa, params,
+                mthlim, order, g, transverse_waves=transverse_waves,
+                roll=roll_tpu, cfl_shape=(tm + 2 * g, nyg))
+        else:
+            # generic AoS roll body: aux/capacity/fwave systems
+            q_new, cfl = kernels.step2_roll(
+                sub, aux_t, dt_ref[0], dx, dy, rp, rpt, params, mthlim,
+                order, fwave, index_capa, g,
+                transverse_waves=transverse_waves, prefactor=prefactor,
+                roll=roll_tpu, cfl_shape=(tm + 2 * g, nyg))
+        out_ref[...] = q_new[:, :, :ny]      # drop the dead lanes
+        cfl_ref[i] = cfl
+
+    def kernel_pipe(dt_ref, q_hbm, out_ref, cfl_ref,
+                    slab0, slab1, sem0, sem1):
+        # double-buffered input DMA (round 5, aux-free path): program i
+        # computes from buffer i%2 (filled by program i-1) while the
+        # DMA for tile i+1 fills the other buffer — measured +7-9% at
+        # 1024^2 (the blocking wait was ~2 us of a ~17 us tile)
+        from jax import lax as _lax
+        i = pl.program_id(0)
+
+        def issue(j, s, sm):
+            pltpu.make_async_copy(
+                q_hbm.at[:, pl.ds(j * tm, fetch)], s, sm).start()
+
+        @pl.when(i == 0)
+        def _():
+            issue(0, slab0, sem0)
+
+        @pl.when(i + 1 < nprog)
+        def _():
+            _lax.cond((i + 1) % 2 == 0,
+                      lambda: issue(i + 1, slab0, sem0),
+                      lambda: issue(i + 1, slab1, sem1))
+
+        def waited(s, sm):
+            pltpu.make_async_copy(
+                q_hbm.at[:, pl.ds(i * tm, fetch)], s, sm).wait()
+            return s[:, :tm + 2 * g, :]
+        sub = _lax.cond(i % 2 == 0,
+                        lambda: waited(slab0, sem0),
+                        lambda: waited(slab1, sem1))
+        body_on(sub, None, dt_ref, out_ref, cfl_ref, i)
+
+    def kernel_blocking(*refs):
         if has_aux:
             (dt_ref, q_hbm, aux_hbm, out_ref, cfl_ref,
              slab, aslab, sem, asem) = refs
@@ -199,27 +253,9 @@ def step2_pallas_rows(qbc, auxbc, dt, dx, dy, rp, rpt, params, mthlim,
             adma.start()
             adma.wait()
         dma.wait()
-        sub = slab[:, :tm + 2 * g, :]
-
-        # shape-uniform roll bodies: Mosaic cannot legalize the
-        # pad/concat interface assembly of the XLA-tuned kernels
-        def roll_tpu(a, shift, axis):
-            return pltpu.roll(a, jnp.int32(shift % a.shape[axis]), axis)
-        if rpn_soa is not None:
-            q_new, cfl = soa.step2_soa_roll(
-                sub, dt_ref[0], dx, dy, rpn_soa, rpt_soa, params,
-                mthlim, order, g, transverse_waves=transverse_waves,
-                roll=roll_tpu, cfl_shape=(tm + 2 * g, nyg))
-        else:
-            # generic AoS roll body: aux/capacity/fwave systems
-            aux_t = aslab[:, :tm + 2 * g, :] if has_aux else None
-            q_new, cfl = kernels.step2_roll(
-                sub, aux_t, dt_ref[0], dx, dy, rp, rpt, params, mthlim,
-                order, fwave, index_capa, g,
-                transverse_waves=transverse_waves, prefactor=prefactor,
-                roll=roll_tpu, cfl_shape=(tm + 2 * g, nyg))
-        out_ref[...] = q_new[:, :, :ny]      # drop the dead lanes
-        cfl_ref[i] = cfl
+        body_on(slab[:, :tm + 2 * g, :],
+                aslab[:, :tm + 2 * g, :] if has_aux else None,
+                dt_ref, out_ref, cfl_ref, i)
 
     out_shape = (
         jax.ShapeDtypeStruct((num_eqn, nx, ny), qbc.dtype),
@@ -231,14 +267,21 @@ def step2_pallas_rows(qbc, auxbc, dt, dx, dy, rp, rpt, params, mthlim,
     )
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pl.ANY)]
-    scratch = [pltpu.VMEM((num_eqn, fetch, lanes), qbc.dtype),
-               pltpu.SemaphoreType.DMA]
     args = [jnp.asarray(dt, qbc.dtype).reshape(1), qbc]
     if has_aux:
+        kernel = kernel_blocking
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        scratch.insert(1, pltpu.VMEM((num_aux, fetch, lanes), auxbc.dtype))
-        scratch.append(pltpu.SemaphoreType.DMA)
+        scratch = [pltpu.VMEM((num_eqn, fetch, lanes), qbc.dtype),
+                   pltpu.VMEM((num_aux, fetch, lanes), auxbc.dtype),
+                   pltpu.SemaphoreType.DMA,
+                   pltpu.SemaphoreType.DMA]
         args.append(auxbc)
+    else:
+        kernel = kernel_pipe
+        scratch = [pltpu.VMEM((num_eqn, fetch, lanes), qbc.dtype),
+                   pltpu.VMEM((num_eqn, fetch, lanes), qbc.dtype),
+                   pltpu.SemaphoreType.DMA,
+                   pltpu.SemaphoreType.DMA]
 
     kw = {}
     if vmem_limit_mb is not None and not _interpret():
@@ -313,13 +356,34 @@ def dq_pallas_rows(qbc, dt, dx, dy, rpn_soa, params, weno_order,
 
     from ..sharpclaw import soa as sc_soa
 
-    def kernel(dt_ref, q_hbm, out_ref, cfl_ref, slab, sem):
+    nprog = grid[0]
+
+    def kernel(dt_ref, q_hbm, out_ref, cfl_ref, slab0, slab1, sem0, sem1):
+        # double-buffered input DMA, as in step2_pallas_rows
+        from jax import lax as _lax
         i = pl.program_id(0)
-        dma = pltpu.make_async_copy(
-            q_hbm.at[:, pl.ds(i * tm, fetch)], slab, sem)
-        dma.start()
-        dma.wait()
-        sub = slab[:, :tm + 2 * g, :]
+
+        def issue(j, s, sm):
+            pltpu.make_async_copy(
+                q_hbm.at[:, pl.ds(j * tm, fetch)], s, sm).start()
+
+        @pl.when(i == 0)
+        def _():
+            issue(0, slab0, sem0)
+
+        @pl.when(i + 1 < nprog)
+        def _():
+            _lax.cond((i + 1) % 2 == 0,
+                      lambda: issue(i + 1, slab0, sem0),
+                      lambda: issue(i + 1, slab1, sem1))
+
+        def waited(s, sm):
+            pltpu.make_async_copy(
+                q_hbm.at[:, pl.ds(i * tm, fetch)], s, sm).wait()
+            return s[:, :tm + 2 * g, :]
+        sub = _lax.cond(i % 2 == 0,
+                        lambda: waited(slab0, sem0),
+                        lambda: waited(slab1, sem1))
 
         def roll_tpu(a, shift, axis):
             return pltpu.roll(a, jnp.int32(shift % a.shape[axis]), axis)
@@ -333,7 +397,8 @@ def dq_pallas_rows(qbc, dt, dx, dy, rpn_soa, params, weno_order,
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pl.ANY)]
     scratch = [pltpu.VMEM((num_eqn, fetch, lanes), qbc.dtype),
-               pltpu.SemaphoreType.DMA]
+               pltpu.VMEM((num_eqn, fetch, lanes), qbc.dtype),
+               pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
     args = [jnp.asarray(dt, qbc.dtype).reshape(1), qbc]
 
     kw = {}
@@ -406,16 +471,43 @@ def step3_pallas_xy(qbc, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim,
 
     from ..classic import kernels as ck
 
-    def kernel(dt_ref, q_hbm, out_ref, cfl_ref, slab, sem):
+    gx, gy = grid
+    nprog = gx * gy
+
+    def kernel(dt_ref, q_hbm, out_ref, cfl_ref, slab0, slab1, sem0, sem1):
+        # double-buffered input DMA over the row-major (i, j) grid, as
+        # in step2_pallas_rows (the 3D tile DMAs ~2 MB against ~15 us
+        # of compute — worth hiding)
+        from jax import lax as _lax
         i = pl.program_id(0)
         j = pl.program_id(1)
-        dma = pltpu.make_async_copy(
-            q_hbm.at[:, pl.ds(i * tx, tx + 2 * g),
-                     pl.ds(j * ty, fetch_y)],
-            slab, sem)
-        dma.start()
-        dma.wait()
-        sub = slab[:, :, :ty + 2 * g, :]
+        idx = i * gy + j
+
+        def issue(i2, j2, s, sm):
+            pltpu.make_async_copy(
+                q_hbm.at[:, pl.ds(i2 * tx, tx + 2 * g),
+                         pl.ds(j2 * ty, fetch_y)], s, sm).start()
+
+        @pl.when(idx == 0)
+        def _():
+            issue(i, j, slab0, sem0)
+
+        @pl.when(idx + 1 < nprog)
+        def _():
+            nidx = idx + 1
+            i2, j2 = nidx // gy, nidx % gy
+            _lax.cond(nidx % 2 == 0,
+                      lambda: issue(i2, j2, slab0, sem0),
+                      lambda: issue(i2, j2, slab1, sem1))
+
+        def waited(s, sm):
+            pltpu.make_async_copy(
+                q_hbm.at[:, pl.ds(i * tx, tx + 2 * g),
+                         pl.ds(j * ty, fetch_y)], s, sm).wait()
+            return s[:, :, :ty + 2 * g, :]
+        sub = _lax.cond(idx % 2 == 0,
+                        lambda: waited(slab0, sem0),
+                        lambda: waited(slab1, sem1))
 
         def roll_tpu(a, shift, axis):
             return pltpu.roll(a, jnp.int32(shift % a.shape[axis]), axis)
@@ -446,6 +538,9 @@ def step3_pallas_xy(qbc, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim,
                        jax.ShapeDtypeStruct(grid, qbc.dtype)),
             scratch_shapes=[pltpu.VMEM((num_eqn, tx + 2 * g, fetch_y,
                                         lanes), qbc.dtype),
+                            pltpu.VMEM((num_eqn, tx + 2 * g, fetch_y,
+                                        lanes), qbc.dtype),
+                            pltpu.SemaphoreType.DMA,
                             pltpu.SemaphoreType.DMA],
             interpret=_interpret(),
             **kw,
