@@ -805,7 +805,7 @@ def _step3_update(q, aux, waves, dtdx_cells, capa, dt, deltas, rpt, rptt,
 
 def step3_roll(q, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
                num_ghost, transverse_waves=2, prefactor=None,
-               roll=jnp.roll, cfl_shape=None):
+               roll=jnp.roll, cfl_shape=None, aux=None):
     """Shape-uniform roll form of :func:`step3` for the Pallas/Mosaic
     backend (round 5; same rationale as classic soa.step2_soa_roll):
     every intermediate keeps the full slab shape, interface quantity k
@@ -817,11 +817,12 @@ def step3_roll(q, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
     step3 exactly, so interior values are bit-identical
     (tests/test_tiled_kernels.py pins it).
 
-    Restricted to the aux-free/no-capacity/wave-form case (the SoA-class
-    eligibility of the 2D Pallas path); q (num_eqn, nx, ny, nz)
-    ghost-padded -> (q interior, cfl).  ``cfl_shape``: real extents when
-    the caller padded for DMA alignment (dead cells never enter the
-    CFL reduction windows)."""
+    Covers aux-carrying wave-form systems (e.g. 3D heterogeneous
+    acoustics) but not capacity functions or fwave (those fall back to
+    the XLA tiled driver); q (num_eqn, nx, ny, nz) ghost-padded ->
+    (q interior, cfl).  ``cfl_shape``: real extents when the caller
+    padded for DMA alignment (dead cells never enter the CFL reduction
+    windows)."""
     g = num_ghost
     shape = q.shape[1:]
     real = cfl_shape if cfl_shape is not None else shape
@@ -839,7 +840,9 @@ def step3_roll(q, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
     for d in range(3):
         dtdx = dt / deltas[d]
         q_l, q_r = q, up(q, d)
-        wave, s, amdq, apdq = rp(d, q_l, q_r, None, None, params)
+        a_l = aux if aux is not None else None
+        a_r = up(aux, d) if aux is not None else None
+        wave, s, amdq, apdq = rp(d, q_l, q_r, a_l, a_r, params)
         cqxx = None
         if order == 2:
             # limiter on full-shape interface arrays (roll form of
@@ -888,8 +891,10 @@ def step3_roll(q, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
     if rpt is not None and transverse_waves > 0:
         for d in range(3):
             q_l, q_r = q, up(q, d)
+            a_l = aux if aux is not None else None
+            a_r = up(aux, d) if aux is not None else None
             kwd = {} if prefactor is None else {
-                "eig": prefactor(d, q_l, q_r, None, None, params)}
+                "eig": prefactor(d, q_l, q_r, a_l, a_r, params)}
             amdq, apdq, cqdd = waves[d]
             if transverse_waves >= 2 and cqdd is not None:
                 amdq, apdq = amdq + cqdd, apdq - cqdd
@@ -904,7 +909,7 @@ def step3_roll(q, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
                 fe_blocks = {}
                 for imp in (1, 2):
                     asdq = amdq if imp == 1 else apdq
-                    bm, bp = rpt(d, imp, q_l, q_r, None, None, asdq,
+                    bm, bp = rpt(d, imp, q_l, q_r, a_l, a_r, asdq,
                                  params, trans_axis=e, **kwd)
                     i0 = imp - 1
                     # below-going feeds e-interface j-1, above-going j
@@ -912,7 +917,7 @@ def step3_roll(q, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
                     if rptt is not None and transverse_waves >= 2:
                         for b_part, e_dir in ((bm, -1), (bp, 1)):
                             cm, cp = rptt(d, 2 + (f > e), imp, e_dir,
-                                          q_l, q_r, None, None, b_part,
+                                          q_l, q_r, a_l, a_r, b_part,
                                           params, trans_axis=f, **kwd)
                             sgn = float(e_dir)
                             for c_part, f_off in ((cm, -1), (cp, 0)):

@@ -468,8 +468,7 @@ class ClawSolver3D(ClawSolver):
             # a sharp optimum)
             tile3 = next((t for t in ((8, 24), (16, 16), (8, 16), (8, 8))
                           if nx3 % t[0] == 0 and ny3 % t[1] == 0), None)
-            if (state.aux is None and index_capa < 0 and not fwave
-                    and tile3 is not None):
+            if index_capa < 0 and not fwave and tile3 is not None:
                 from ..ops import tiled2d
                 tx3, ty3 = tile3
                 lanes3 = nz3 + 2 * g + (-(nz3 + 2 * g)) % 128
@@ -483,7 +482,7 @@ class ClawSolver3D(ClawSolver):
                         qbc, dt, dx, dy, dz, rp, rpt, rptt, params,
                         mthlim, order, g, transverse_waves=tw,
                         prefactor=prefactor, tile=tile3,
-                        vmem_limit_mb=vmem3)
+                        vmem_limit_mb=vmem3, auxbc=auxbc)
 
                 # (measured negative result: routing the 3D BC build
                 # through the fused-pad extend_aligned path was 17%
@@ -493,9 +492,9 @@ class ClawSolver3D(ClawSolver):
                 # The fused-BC wrapper stays 2D-only.)
                 return self._wrap_bc_kernel(kern3, state)
             raise ValueError(
-                "backend='pallas' 3D needs an aux-free wave-form system "
-                "on a grid with nx divisible by 8 and ny by 8/16; use "
-                "backend='xla' (docs/performance.md)")
+                "backend='pallas' 3D needs a wave-form system without a "
+                "capacity function on a grid with nx divisible by 8 and "
+                "ny by 8/16/24; use backend='xla' (docs/performance.md)")
         # measured on-chip (r4): stacking the asdq batches REGRESSED the
         # 192^3 step 63.5 -> 53.4 M cups (the stacks materialize); off by
         # default, kept as a tuning knob for other device generations

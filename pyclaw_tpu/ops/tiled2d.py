@@ -426,7 +426,7 @@ def dq_pallas_rows(qbc, dt, dx, dy, rpn_soa, params, weno_order,
 def step3_pallas_xy(qbc, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim,
                     order, num_ghost, transverse_waves=2, prefactor=None,
                     tile=(8, 8), vmem_limit_mb=None,
-                    prepadded_interior=None):
+                    prepadded_interior=None, auxbc=None):
     """(x, y)-tiled fused classic 3D step (full Langseth-LeVeque corner
     transport) — the Pallas analog of kernels.step3_tiled with the
     Mosaic-legal geometry of :func:`step2_pallas_rows`:
@@ -468,11 +468,44 @@ def step3_pallas_xy(qbc, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim,
         qbc = jnp.pad(qbc, ((0, 0), (0, 0), (0, pad_y), (0, pad_z)))
     lanes = nzg + pad_z
     grid = (nx // tx, ny // ty)
+    has_aux = auxbc is not None
+    if has_aux:
+        auxbc = jnp.pad(auxbc, ((0, 0), (0, 0), (0, pad_y), (0, pad_z)))
+        num_aux = auxbc.shape[0]
 
     from ..classic import kernels as ck
 
     gx, gy = grid
     nprog = gx * gy
+
+    def kernel_aux(dt_ref, q_hbm, aux_hbm, out_ref, cfl_ref,
+                   slab, aslab, sem, asem):
+        # blocking form with an aux slab (aux-carrying wave-form
+        # systems, e.g. 3D heterogeneous acoustics)
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        dma = pltpu.make_async_copy(
+            q_hbm.at[:, pl.ds(i * tx, tx + 2 * g),
+                     pl.ds(j * ty, fetch_y)], slab, sem)
+        dma.start()
+        adma = pltpu.make_async_copy(
+            aux_hbm.at[:, pl.ds(i * tx, tx + 2 * g),
+                       pl.ds(j * ty, fetch_y)], aslab, asem)
+        adma.start()
+        adma.wait()
+        dma.wait()
+        sub = slab[:, :, :ty + 2 * g, :]
+        asub = aslab[:, :, :ty + 2 * g, :]
+
+        def roll_tpu(a, shift, axis):
+            return pltpu.roll(a, jnp.int32(shift % a.shape[axis]), axis)
+        q_new, cfl = ck.step3_roll(
+            sub, dt_ref[0], dx, dy, dz, rp, rpt, rptt, params, mthlim,
+            order, g, transverse_waves=transverse_waves,
+            prefactor=prefactor, roll=roll_tpu,
+            cfl_shape=(tx + 2 * g, ty + 2 * g, nzg), aux=asub)
+        out_ref[...] = q_new[:, :, :, :nz]
+        cfl_ref[i, j] = cfl
 
     def kernel(dt_ref, q_hbm, out_ref, cfl_ref, slab0, slab1, sem0, sem1):
         # double-buffered input DMA over the row-major (i, j) grid, as
@@ -525,26 +558,41 @@ def step3_pallas_xy(qbc, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim,
             vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024)
     from . import mosaic_ctx
     with mosaic_ctx(qbc.dtype):
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pl.ANY)]
+        args = [jnp.asarray(dt, qbc.dtype).reshape(1), qbc]
+        if has_aux:
+            kern = kernel_aux
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            scratch = [pltpu.VMEM((num_eqn, tx + 2 * g, fetch_y, lanes),
+                                  qbc.dtype),
+                       pltpu.VMEM((num_aux, tx + 2 * g, fetch_y, lanes),
+                                  auxbc.dtype),
+                       pltpu.SemaphoreType.DMA,
+                       pltpu.SemaphoreType.DMA]
+            args.append(auxbc)
+        else:
+            kern = kernel
+            scratch = [pltpu.VMEM((num_eqn, tx + 2 * g, fetch_y, lanes),
+                                  qbc.dtype),
+                       pltpu.VMEM((num_eqn, tx + 2 * g, fetch_y, lanes),
+                                  qbc.dtype),
+                       pltpu.SemaphoreType.DMA,
+                       pltpu.SemaphoreType.DMA]
         q_out, cfl_tiles = pl.pallas_call(
-            kernel,
+            kern,
             grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                      pl.BlockSpec(memory_space=pl.ANY)],
+            in_specs=in_specs,
             out_specs=(pl.BlockSpec((num_eqn, tx, ty, nz),
                                     lambda i, j: (0, i, j, 0)),
                        pl.BlockSpec(memory_space=pltpu.SMEM)),
             out_shape=(jax.ShapeDtypeStruct((num_eqn, nx, ny, nz),
                                             qbc.dtype),
                        jax.ShapeDtypeStruct(grid, qbc.dtype)),
-            scratch_shapes=[pltpu.VMEM((num_eqn, tx + 2 * g, fetch_y,
-                                        lanes), qbc.dtype),
-                            pltpu.VMEM((num_eqn, tx + 2 * g, fetch_y,
-                                        lanes), qbc.dtype),
-                            pltpu.SemaphoreType.DMA,
-                            pltpu.SemaphoreType.DMA],
+            scratch_shapes=scratch,
             interpret=_interpret(),
             **kw,
-        )(jnp.asarray(dt, qbc.dtype).reshape(1), qbc)
+        )(*args)
     return q_out, jnp.max(cfl_tiles)
 
 

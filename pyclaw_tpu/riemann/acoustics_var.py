@@ -26,11 +26,14 @@ def _rp_acoustics_var(ixy, q_l, q_r, aux_l, aux_r, params):
     a1 = (-d[0] + z_r * d[mu]) / denom
     a2 = (d[0] + z_l * d[mu]) / denom
 
-    wave = jnp.zeros((num_eqn, 2) + d.shape[1:], dtype=q_l.dtype)
-    wave = wave.at[0, 0].set(-a1 * z_l)
-    wave = wave.at[mu, 0].set(a1)
-    wave = wave.at[0, 1].set(a2 * z_r)
-    wave = wave.at[mu, 1].set(a2)
+    # stack-assembled (multi-index .at lowers to a scatter, which the
+    # Pallas TPU lowering cannot handle — round 5; identical values)
+    zero = jnp.zeros_like(a1)
+    w1 = [zero] * num_eqn
+    w1[0], w1[mu] = -a1 * z_l, a1
+    w2 = [zero] * num_eqn
+    w2[0], w2[mu] = a2 * z_r, a2
+    wave = jnp.stack([jnp.stack(w1), jnp.stack(w2)], axis=1)
 
     s = jnp.stack([-c_l, c_r])
     amdq = -c_l * wave[:, 0]
@@ -67,13 +70,12 @@ def _rpt_acoustics_var(ixy, imp, q_l, q_r, aux_l, aux_r, asdq, params,
     a1 = (-asdq[0] + z_c * asdq[mv]) / (z_c + z_below)
     a2 = (asdq[0] + z_c * asdq[mv]) / (z_c + z_above)
 
-    bmasdq = jnp.zeros_like(asdq)
-    bmasdq = bmasdq.at[0].set(c_below * a1 * z_below)
-    bmasdq = bmasdq.at[mv].set(-c_below * a1)
-    bpasdq = jnp.zeros_like(asdq)
-    bpasdq = bpasdq.at[0].set(c_above * a2 * z_above)
-    bpasdq = bpasdq.at[mv].set(c_above * a2)
-    return bmasdq, bpasdq
+    zero = jnp.zeros_like(a1)
+    bm = [zero] * asdq.shape[0]
+    bm[0], bm[mv] = c_below * a1 * z_below, -c_below * a1
+    bp = [zero] * asdq.shape[0]
+    bp[0], bp[mv] = c_above * a2 * z_above, c_above * a2
+    return jnp.stack(bm), jnp.stack(bp)
 
 
 def _evec_acoustics_var(ixy, q, aux, params):

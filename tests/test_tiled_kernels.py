@@ -293,3 +293,46 @@ def test_step3_pallas_xy_matches_tiled():
                                     prefactor=rp.prefactor, tile=(8, 8))
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-13)
     assert abs(float(ca) - float(cb)) < 1e-13
+
+
+def test_step3_roll_aux_bitexact():
+    """step3_roll with an aux array (3D heterogeneous acoustics, tw=1)
+    must reproduce step3 bit-for-bit on the interior."""
+    from pyclaw_tpu.classic import kernels
+
+    rp = riemann.vc_acoustics_3D
+    rng = np.random.default_rng(11)
+    n = 16
+    q = jnp.asarray(0.1 * rng.random((4, n, n, n)))
+    aux = jnp.asarray(1.0 + 0.2 * rng.random((2, n, n, n)))
+    a, ca = kernels.step3(q, aux, 1e-3, 0.1, 0.1, 0.1, rp.rp, rp.rpt,
+                          None, {}, (1,) * 2, 2, False, -1, 2,
+                          transverse_waves=1)
+    b, cb = kernels.step3_roll(q, 1e-3, 0.1, 0.1, 0.1, rp.rp, rp.rpt,
+                               None, {}, (1,) * 2, 2, 2,
+                               transverse_waves=1, aux=aux)
+    assert bool(jnp.all(a == b)) and float(ca) == float(cb)
+
+
+def test_step3_pallas_xy_aux_matches_tiled():
+    """The aux-carrying 3D Pallas kernel (interpret mode on CPU) vs the
+    XLA tiled driver — heterogeneous acoustics, multi-tile."""
+    from pyclaw_tpu.classic import kernels
+    from pyclaw_tpu.ops import tiled2d
+
+    rp = riemann.vc_acoustics_3D
+    rng = np.random.default_rng(12)
+    n, g = 16, 2
+    q = jnp.asarray(0.1 * rng.random((4, n + 2 * g, n + 2 * g,
+                                      n + 2 * g)))
+    aux = jnp.asarray(1.0 + 0.2 * rng.random((2, n + 2 * g, n + 2 * g,
+                                              n + 2 * g)))
+    a, ca = kernels.step3_tiled(q, aux, 1e-3, 0.1, 0.1, 0.1, rp.rp,
+                                rp.rpt, None, {}, (1,) * 2, 2, False,
+                                -1, g, transverse_waves=1, tile_rows=4)
+    b, cb = tiled2d.step3_pallas_xy(q, 1e-3, 0.1, 0.1, 0.1, rp.rp,
+                                    rp.rpt, None, {}, (1,) * 2, 2, g,
+                                    transverse_waves=1, tile=(8, 8),
+                                    auxbc=aux)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-13)
+    assert abs(float(ca) - float(cb)) < 1e-13
