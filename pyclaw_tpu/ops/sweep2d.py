@@ -10,12 +10,11 @@ INTO the kernel (the Pallas analog of the reference passing f2py
 
 This is the single-block version: the ghost-padded array must fit VMEM
 (~16 MB ⇒ up to ~256x256xf32x4eqn comfortably); production grids run the
-XLA backend (see docs/performance.md for the measured cell-updates/s and
-roofline accounting) or the genuinely tiled kernel in ops/tiled2d.py
-(halo-apron DMA per tile; the default pallas 2D path for SoA-eligible
-solvers).  Interpret mode on CPU makes THIS single-block wrapper a smoke
-path only — it calls the SAME kernel body as the XLA backend, so it is
-NOT an independent oracle (the tiled kernel is).
+row-tiled kernels in ops/tiled2d.py (the round-5 on-silicon path — see
+docs/performance.md) with the XLA backend as the general fallback.
+Interpret mode on CPU makes THIS single-block wrapper a smoke path only
+— it calls the SAME kernel body as the XLA backend, so it is NOT an
+independent oracle (the tiled kernels are).
 """
 
 from __future__ import annotations

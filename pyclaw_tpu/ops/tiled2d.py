@@ -1,21 +1,26 @@
-"""Genuinely tiled Pallas 2D unsplit sweep (SURVEY.md §2.2 step2 row,
-§7.4): the interior grid is divided into (tile_m, tile_n) blocks —
-(8, 128)-aligned for the f32 VPU — and each program DMAs its tile PLUS a
-num_ghost halo apron from HBM into VMEM, runs the full unsplit CTU step
-on-chip (Riemann solves, limiter, transverse corner transport, update),
-and writes back only its interior tile and a per-tile CFL.
+"""Tiled Pallas sweep kernels (SURVEY.md §2.2 step2/step3 rows, §7.4) —
+the round-5 on-silicon production path.
 
-The per-tile body is ``classic.soa.step2_soa`` — an implementation
-independent of the generic AoS kernel ``classic.kernels.step2``, so the
-dual-backend oracle (tests/test_pallas_backend.py) compares genuinely
-different code paths.  Its contract is exactly the tile contract:
-ghost-padded slab in, interior out.
+The PRODUCTION kernels here are the Mosaic-legal row/xy-tiled family
+(round 5 — see each docstring and ops/__init__ for the environment
+rules they encode):
 
-Mosaic cannot compile through this dev environment's tunneled TPU
-(ops/__init__.py note), so the kernel is exercised in interpret mode on
-CPU; on directly-attached TPUs it compiles normally.  Tile shapes must
-divide the interior grid — callers fall back to the XLA path otherwise.
-"""
+  * :func:`step2_pallas_rows` — 2D classic CTU, roll-form SoA body for
+    SoA-eligible systems / generic-AoS roll body (aux, capacity, fwave)
+    otherwise, double-buffered input DMA;
+  * :func:`dq_pallas_rows` — the SharpClaw 2D semidiscretization;
+  * :func:`step3_pallas_xy` — 3D classic CTU with full rpt3/rptt3
+    corner transport, with or without aux.
+
+All bodies are shape-uniform "roll forms" of the XLA kernels —
+bit-identical results, pinned by the dual-backend oracles in
+tests/test_pallas_backend.py and tests/test_tiled_kernels.py.
+
+The older (8,128)+halo-apron kernels (:func:`step2_pallas_tiled`,
+:func:`step2_pallas_tiled_generic`) are kept as dispatch fallbacks for
+odd geometries; their halo-apron DMA shapes violate the current
+toolchain's slice-alignment rule on-chip (they run in interpret mode
+and on toolchains without that restriction)."""
 
 from __future__ import annotations
 
