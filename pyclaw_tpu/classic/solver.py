@@ -187,7 +187,7 @@ class ClawSolver2D(ClawSolver):
         tw = self.transverse_waves
         if self.backend == "pallas":
             from ..ops import tiled2d
-            nx, ny = state.patch.num_cells_global
+            nx, ny = self._kernel_cells(state)
             # Row-tiled Mosaic-legal kernel (round 5): the preferred
             # on-chip geometry — aligned DMAs, roll-form SoA body, whole
             # CTU step fused per tile.  Measured 2.10 G cell-updates/s
@@ -461,7 +461,7 @@ class ClawSolver3D(ClawSolver):
             # cell-updates/s at 192^3 f32 on a v5e vs 85.9 M for the
             # XLA tiled driver.  Aux-free wave-form systems only; the
             # XLA path remains the fallback for everything else.
-            nx3, ny3, nz3 = state.patch.num_cells_global
+            nx3, ny3, nz3 = self._kernel_cells(state)
             # tile preference from the 192^3 on-chip scans ((8,24) and
             # (16,16) lead; per-run ordering moves inside the ~+/-15%
             # 3D chip-state band, so this is a reasonable default, not

@@ -36,15 +36,47 @@ class _DistributedMixin:
 
     def setup(self, solution):
         if self.backend == "pallas":
-            # the fused Mosaic kernels assume serial block geometry
-            # (the halo-overlap path feeds 3g-wide boundary bands that
-            # violate their tile constraints); distributed runs use the
-            # XLA kernels, which run unchanged inside shard_map
-            self.logger.warning(
-                "backend='pallas' is single-chip in this release; "
-                "distributed runs use the XLA kernels")
-            self.backend = "xla"
+            # Round 5: the fused Mosaic kernels run per-shard inside
+            # shard_map on the halo-exchanged local block (the dispatch
+            # keys its tile geometry off _kernel_cells = the shard-local
+            # shape).  Two adjustments vs the XLA backend:
+            #   * halo/compute overlap is forced off — the overlap path
+            #     feeds 3g-wide boundary bands that violate the row
+            #     kernels' tile constraints; pallas uses the blocking
+            #     halo-exchange prefix instead;
+            #   * when the LOCAL block is ineligible (lanes not a
+            #     128-multiple, rows not tileable, 3D capacity/fwave),
+            #     the dispatch raises and we fall back to the XLA
+            #     kernels with the original overlap setting.
+            overlap_prev = getattr(self, "overlap_halo", True)
+            if overlap_prev:
+                self.logger.info(
+                    "backend='pallas': halo/compute overlap disabled "
+                    "(fused kernels consume full local blocks)")
+                self.overlap_halo = False
+            try:
+                super().setup(solution)
+                return
+            except ValueError as err:
+                if "pallas" not in str(err):
+                    raise
+                self.logger.warning(
+                    "backend='pallas' ineligible for this decomposition "
+                    "(%s); falling back to the XLA kernels", err)
+                self.backend = "xla"
+                self.overlap_halo = overlap_prev
         super().setup(solution)
+
+    def _kernel_cells(self, state):
+        """Shard-local interior block shape (what each per-shard kernel
+        instance sees inside shard_map) — the geometry the Pallas
+        dispatch must tile against."""
+        if self.mesh is None:
+            self.mesh = make_mesh(self.num_dim)
+        shape = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+        return tuple(
+            c // shape.get(AXIS_NAMES[d], 1)
+            for d, c in enumerate(state.patch.num_cells_global))
 
     # -- seam 1: halo exchange (replaces serial BC extension) ----------
     def _extend_bc(self, q, aux, t, state):
@@ -228,6 +260,10 @@ class _DistributedMixin:
         allaxes = tuple(mesh.axis_names)
         has_aux = state.aux is not None
 
+        # the Pallas kernels build their pl.pallas_call out shapes
+        # without varying-mesh-axes (vma) annotations, which shard_map's
+        # default vma checker rejects; the XLA backend keeps the checker
+        check_vma = self.backend != "pallas"
         if has_aux:
             def local(q, aux, dt, t):
                 q_new, cfl = step_fn(q, aux, dt, t)
@@ -235,7 +271,7 @@ class _DistributedMixin:
             fn = jax.jit(jax.shard_map(
                 local, mesh=mesh,
                 in_specs=(qspec, qspec, P(), P()),
-                out_specs=(qspec, P())))
+                out_specs=(qspec, P()), check_vma=check_vma))
             return fn
         else:
             def local(q, dt, t):
@@ -244,7 +280,7 @@ class _DistributedMixin:
             inner = jax.jit(jax.shard_map(
                 local, mesh=mesh,
                 in_specs=(qspec, P(), P()),
-                out_specs=(qspec, P())))
+                out_specs=(qspec, P()), check_vma=check_vma))
             return lambda q, aux, dt, t: inner(q, dt, t)
 
 

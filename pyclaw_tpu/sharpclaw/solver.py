@@ -199,7 +199,7 @@ class SharpClawSolver(Solver):
             rpn_soa = self.rp.rpn_soa
             dx2, dy2 = deltas
             tile_rows = getattr(self, "soa_tile_rows", 128)
-            nx, ny = state.patch.num_cells_global
+            nx, ny = self._kernel_cells(state)
             rows_tile = next((t for t in (32, 16, 8)
                               if nx % t == 0), None)
             if (backend == "pallas" and ny % 128 == 0

@@ -178,6 +178,15 @@ class Solver:
         import jax
         return jax.jit(step_fn)
 
+    def _kernel_cells(self, state):
+        """Interior cell counts the hyperbolic kernel actually sees:
+        the global grid in serial runs.  The distributed overlay
+        overrides this with the shard-LOCAL block shape — tile-geometry
+        decisions (the Pallas dispatch in classic/sharpclaw) must key
+        off the block each per-shard kernel instance receives inside
+        shard_map, not the global grid."""
+        return tuple(state.patch.num_cells_global)
+
     def _wrap_bc_kernel(self, kern, state):
         """Combine ghost extension with an interior kernel
         ``kern(qbc, auxbc, dt, t) -> (interior_result, cfl)`` (the kernel
