@@ -805,7 +805,8 @@ def _step3_update(q, aux, waves, dtdx_cells, capa, dt, deltas, rpt, rptt,
 
 def step3_roll(q, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
                num_ghost, transverse_waves=2, prefactor=None,
-               roll=jnp.roll, cfl_shape=None, aux=None):
+               roll=jnp.roll, cfl_shape=None, aux=None, fwave=False,
+               index_capa=-1):
     """Shape-uniform roll form of :func:`step3` for the Pallas/Mosaic
     backend (round 5; same rationale as classic soa.step2_soa_roll):
     every intermediate keeps the full slab shape, interface quantity k
@@ -818,11 +819,12 @@ def step3_roll(q, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
     (tests/test_tiled_kernels.py pins it).
 
     Covers aux-carrying wave-form systems (e.g. 3D heterogeneous
-    acoustics) but not capacity functions or fwave (those fall back to
-    the XLA tiled driver); q (num_eqn, nx, ny, nz) ghost-padded ->
-    (q interior, cfl).  ``cfl_shape``: real extents when the caller
-    padded for DMA alignment (dead cells never enter the CFL reduction
-    windows)."""
+    acoustics), capacity functions (per-cell dtdx, the flux3.f90
+    dtdx1d(i1) coefficients in the transverse terms — roll form of the
+    :func:`_step3_update` capa path), and fwave; q (num_eqn, nx, ny,
+    nz) ghost-padded -> (q interior, cfl).  ``cfl_shape``: real extents
+    when the caller padded for DMA alignment (dead cells never enter
+    the CFL reduction windows)."""
     g = num_ghost
     shape = q.shape[1:]
     real = cfl_shape if cfl_shape is not None else shape
@@ -834,17 +836,25 @@ def step3_roll(q, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
     def down(a, d, k=1):
         return roll(a, k, a.ndim - 3 + d)
 
+    capa = aux[index_capa] if (aux is not None and index_capa >= 0) \
+        else None
+    # per-cell dtdx when a capacity function is present; scalar otherwise
+    dtdx_d = [dt / deltas[d] if capa is None
+              else dt / (deltas[d] * capa) for d in range(3)]
+
     # ---- normal sweeps (roll form of _sweep_normal) -------------------
     waves = {}
     cfl = None
     for d in range(3):
-        dtdx = dt / deltas[d]
+        dtdx = dtdx_d[d]
         q_l, q_r = q, up(q, d)
         a_l = aux if aux is not None else None
         a_r = up(aux, d) if aux is not None else None
         wave, s, amdq, apdq = rp(d, q_l, q_r, a_l, a_r, params)
         cqxx = None
         if order == 2:
+            dtdxave = dtdx if capa is None \
+                else 0.5 * (dtdx + up(dtdx, d))
             # limiter on full-shape interface arrays (roll form of
             # tvd.limiter_phi: dot_r[k] = <W_k, W_{k+1}>)
             num_waves = wave.shape[1]
@@ -861,15 +871,13 @@ def step3_roll(q, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
                     phis.append(jnp.ones_like(theta[p]))
                 else:
                     if int(lid) in tvd.CFL_LIMITER_IDS:
-                        nu = jnp.abs(s[p]) * dtdx
+                        nu = jnp.abs(s[p]) * dtdxave
                         ph = tvd._phi_cfl(int(lid), theta[p], nu)
                     else:
                         ph = tvd._phi(int(lid), theta[p])
                     phis.append(jnp.where(safe[p], ph, 1.0))
             phi = jnp.stack(phis)
-            abss = jnp.abs(s)
-            coef = 0.5 * abss * (1.0 - abss * dtdx)
-            cqxx = jnp.sum((coef * phi)[None] * wave, axis=1)
+            cqxx = _correction_flux(wave, phi, s, dtdxave, fwave)
         waves[d] = (amdq, apdq, cqxx)
 
         # CFL over interfaces touching interior cells (real extents)
@@ -879,7 +887,16 @@ def step3_roll(q, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
             if d2 != d:
                 sl[d2] = slice(g, real[d2] - g)
         s_int = s[(slice(None),) + tuple(sl)]
-        c = dtdx * jnp.max(jnp.abs(s_int))
+        if capa is None:
+            c = dtdx * jnp.max(jnp.abs(s_int))
+        else:
+            # upwinded per-cell dt/(dx κ): interface i against cell i
+            # (left) and cell i+1 (right); slice FIRST, then
+            # expand_dims (Mosaic gather rule, see step2_roll)
+            sl_t = tuple(sl)
+            dt_l = dtdx[sl_t][None]
+            dt_r = up(dtdx, d)[sl_t][None]
+            c = jnp.max(jnp.maximum(s_int * dt_r, -s_int * dt_l))
         cfl = c if cfl is None else jnp.maximum(cfl, c)
 
     # ---- transverse corner transport (roll form of _step3_update) -----
@@ -912,8 +929,20 @@ def step3_roll(q, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
                     bm, bp = rpt(d, imp, q_l, q_r, a_l, a_r, asdq,
                                  params, trans_axis=e, **kwd)
                     i0 = imp - 1
+                    if capa is None:
+                        c_bm = c_bp = half
+                        co2r = None
+                    else:
+                        # κ of the receiving cell (flux3.f90 dtdx1d(i1)
+                        # — roll form of the _step3_update capa slices:
+                        # the later down(·, d, i0) embed puts
+                        # dtdx_cells[j] at output row j)
+                        dd = up(dtdx_d[d], d, i0) if i0 else dtdx_d[d]
+                        c_bm = (0.5 * up(dd, e))[None]
+                        c_bp = (0.5 * dd)[None]
+                        co2r = (dt / (6.0 * deltas[e])) * dd
                     # below-going feeds e-interface j-1, above-going j
-                    fe_blocks[i0] = -(half * up(bm, e) + half * bp)
+                    fe_blocks[i0] = -(c_bm * up(bm, e) + c_bp * bp)
                     if rptt is not None and transverse_waves >= 2:
                         for b_part, e_dir in ((bm, -1), (bp, 1)):
                             cm, cp = rptt(d, 2 + (f > e), imp, e_dir,
@@ -923,7 +952,12 @@ def step3_roll(q, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
                             for c_part, f_off in ((cm, -1), (cp, 0)):
                                 cs = up(c_part, f) if f_off == -1 \
                                     else c_part
-                                t = sgn * coeff2 * cs
+                                if co2r is None:
+                                    co_cs = coeff2
+                                else:
+                                    co_cs = (up(co2r, f) if f_off == -1
+                                             else co2r)[None]
+                                t = sgn * co_cs * cs
                                 own[i0] = (t if i0 not in own
                                            else own[i0] + t)
                                 if e_dir > 0:
@@ -955,7 +989,7 @@ def step3_roll(q, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim, order,
     for d in range(3):
         amdq, apdq, _ = waves[d]
         term = down(apdq, d) + amdq + (F[d] - down(F[d], d))
-        dq_tot = dq_tot + (dt / deltas[d]) * term
+        dq_tot = dq_tot + dtdx_d[d] * term
     q_new = q - dq_tot
     out = q_new
     for d in range(3):

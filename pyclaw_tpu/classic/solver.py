@@ -459,8 +459,8 @@ class ClawSolver3D(ClawSolver):
             # round-5 fused (x,y)-tiled Mosaic kernel (full corner
             # transport in one VMEM-resident program per tile): 322 M
             # cell-updates/s at 192^3 f32 on a v5e vs 85.9 M for the
-            # XLA tiled driver.  Aux-free wave-form systems only; the
-            # XLA path remains the fallback for everything else.
+            # XLA tiled driver.  Covers aux, capacity and fwave
+            # systems (the roll body carries per-cell dtdx).
             nx3, ny3, nz3 = self._kernel_cells(state)
             # tile preference from the 192^3 on-chip scans ((8,24) and
             # (16,16) lead; per-run ordering moves inside the ~+/-15%
@@ -468,7 +468,7 @@ class ClawSolver3D(ClawSolver):
             # a sharp optimum)
             tile3 = next((t for t in ((8, 24), (16, 16), (8, 16), (8, 8))
                           if nx3 % t[0] == 0 and ny3 % t[1] == 0), None)
-            if index_capa < 0 and not fwave and tile3 is not None:
+            if tile3 is not None:
                 from ..ops import tiled2d
                 tx3, ty3 = tile3
                 lanes3 = nz3 + 2 * g + (-(nz3 + 2 * g)) % 128
@@ -482,7 +482,8 @@ class ClawSolver3D(ClawSolver):
                         qbc, dt, dx, dy, dz, rp, rpt, rptt, params,
                         mthlim, order, g, transverse_waves=tw,
                         prefactor=prefactor, tile=tile3,
-                        vmem_limit_mb=vmem3, auxbc=auxbc)
+                        vmem_limit_mb=vmem3, auxbc=auxbc,
+                        fwave=fwave, index_capa=index_capa)
 
                 # (measured negative result: routing the 3D BC build
                 # through the fused-pad extend_aligned path was 17%
@@ -492,9 +493,9 @@ class ClawSolver3D(ClawSolver):
                 # The fused-BC wrapper stays 2D-only.)
                 return self._wrap_bc_kernel(kern3, state)
             raise ValueError(
-                "backend='pallas' 3D needs a wave-form system without a "
-                "capacity function on a grid with nx divisible by 8 and "
-                "ny by 8/16/24; use backend='xla' (docs/performance.md)")
+                "backend='pallas' 3D needs a grid with nx divisible by "
+                "8 and ny by 8/16/24; use backend='xla' "
+                "(docs/performance.md)")
         # measured on-chip (r4): stacking the asdq batches REGRESSED the
         # 192^3 step 63.5 -> 53.4 M cups (the stacks materialize); off by
         # default, kept as a tuning knob for other device generations

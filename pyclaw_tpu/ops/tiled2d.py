@@ -431,7 +431,8 @@ def dq_pallas_rows(qbc, dt, dx, dy, rpn_soa, params, weno_order,
 def step3_pallas_xy(qbc, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim,
                     order, num_ghost, transverse_waves=2, prefactor=None,
                     tile=(8, 8), vmem_limit_mb=None,
-                    prepadded_interior=None, auxbc=None):
+                    prepadded_interior=None, auxbc=None, fwave=False,
+                    index_capa=-1):
     """(x, y)-tiled fused classic 3D step (full Langseth-LeVeque corner
     transport) — the Pallas analog of kernels.step3_tiled with the
     Mosaic-legal geometry of :func:`step2_pallas_rows`:
@@ -446,8 +447,11 @@ def step3_pallas_xy(qbc, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim,
       * the body is :func:`kernels.step3_roll` (shape-uniform roll form,
         bit-identical to step3) on the (ne, tx+2g, ty+2g, z) sub-slab.
 
-    Aux-free/no-capacity systems only (euler_3D-class).  qbc
-    (num_eqn, nx, ny, nz) ghost-padded -> (q interior, cfl).
+    Covers wave-form systems with or without aux, capacity functions
+    (per-cell dtdx — capa rides in the aux slab; its dead-lane padding
+    garbage stays outside the interior/CFL windows like all roll-wrap
+    garbage) and fwave.  qbc (num_eqn, nx, ny, nz) ghost-padded ->
+    (q interior, cfl).
     ``prepadded_interior``: as in :func:`step2_pallas_rows`."""
     g = num_ghost
     num_eqn = qbc.shape[0]
@@ -508,7 +512,8 @@ def step3_pallas_xy(qbc, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim,
             sub, dt_ref[0], dx, dy, dz, rp, rpt, rptt, params, mthlim,
             order, g, transverse_waves=transverse_waves,
             prefactor=prefactor, roll=roll_tpu,
-            cfl_shape=(tx + 2 * g, ty + 2 * g, nzg), aux=asub)
+            cfl_shape=(tx + 2 * g, ty + 2 * g, nzg), aux=asub,
+            fwave=fwave, index_capa=index_capa)
         out_ref[...] = q_new[:, :, :, :nz]
         cfl_ref[i, j] = cfl
 
@@ -553,7 +558,7 @@ def step3_pallas_xy(qbc, dt, dx, dy, dz, rp, rpt, rptt, params, mthlim,
             sub, dt_ref[0], dx, dy, dz, rp, rpt, rptt, params, mthlim,
             order, g, transverse_waves=transverse_waves,
             prefactor=prefactor, roll=roll_tpu,
-            cfl_shape=(tx + 2 * g, ty + 2 * g, nzg))
+            cfl_shape=(tx + 2 * g, ty + 2 * g, nzg), fwave=fwave)
         out_ref[...] = q_new[:, :, :, :nz]
         cfl_ref[i, j] = cfl
 

@@ -336,3 +336,62 @@ def test_step3_pallas_xy_aux_matches_tiled():
                                     auxbc=aux)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-13)
     assert abs(float(ca) - float(cb)) < 1e-13
+
+
+def test_step3_roll_capa_bitexact():
+    """step3_roll with a capacity function (per-cell dtdx in the
+    normal, transverse and rptt coefficients — the flux3.f90 dtdx1d
+    path) must reproduce step3 bit-for-bit on the interior."""
+    from pyclaw_tpu.classic import kernels
+
+    rp = riemann.euler_3D
+    rng = np.random.default_rng(21)
+    n = 16
+    q = np.ones((5, n, n, n))
+    q[0] = 1.0 + 0.1 * rng.random((n, n, n))
+    q[1:4] = 0.1 * rng.random((3, n, n, n))
+    q[4] = 2.5 + 0.2 * rng.random((n, n, n))
+    qj = jnp.asarray(q)
+    aux = jnp.asarray(1.0 + 0.5 * rng.random((1, n, n, n)))
+    params = {"gamma": 1.4}
+    for tw in (0, 1, 2):
+        a, ca = kernels.step3(qj, aux, 1e-3, 0.1, 0.1, 0.1, rp.rp,
+                              rp.rpt, rp.rptt, params, (4,) * 3, 2,
+                              False, 0, 2, transverse_waves=tw,
+                              prefactor=rp.prefactor)
+        b, cb = kernels.step3_roll(qj, 1e-3, 0.1, 0.1, 0.1, rp.rp,
+                                   rp.rpt, rp.rptt, params, (4,) * 3, 2,
+                                   2, transverse_waves=tw,
+                                   prefactor=rp.prefactor, aux=aux,
+                                   index_capa=0)
+        assert bool(jnp.all(a == b)) and float(ca) == float(cb), tw
+
+
+def test_step3_pallas_xy_capa_matches_tiled():
+    """The capacity-carrying 3D Pallas kernel (interpret mode on CPU)
+    vs the XLA tiled driver — euler + synthetic kappa, multi-tile (the
+    dead-lane aux padding must stay outside interior/CFL windows)."""
+    from pyclaw_tpu.classic import kernels
+    from pyclaw_tpu.ops import tiled2d
+
+    rp = riemann.euler_3D
+    rng = np.random.default_rng(22)
+    n, g = 16, 2
+    q = np.ones((5, n + 2 * g, n + 2 * g, n + 2 * g))
+    q[0] = 1.0 + 0.1 * rng.random(q.shape[1:])
+    q[1:4] = 0.1 * rng.random((3,) + q.shape[1:])
+    q[4] = 2.5 + 0.1 * rng.random(q.shape[1:])
+    qj = jnp.asarray(q)
+    aux = jnp.asarray(1.0 + 0.5 * rng.random((1,) + q.shape[1:]))
+    params = {"gamma": 1.4}
+    a, ca = kernels.step3_tiled(qj, aux, 1e-3, 0.1, 0.1, 0.1, rp.rp,
+                                rp.rpt, rp.rptt, params, (4,) * 3, 2,
+                                False, 0, g, transverse_waves=2,
+                                tile_rows=4, prefactor=rp.prefactor)
+    b, cb = tiled2d.step3_pallas_xy(qj, 1e-3, 0.1, 0.1, 0.1, rp.rp,
+                                    rp.rpt, rp.rptt, params, (4,) * 3,
+                                    2, g, transverse_waves=2,
+                                    prefactor=rp.prefactor, tile=(8, 8),
+                                    auxbc=aux, index_capa=0)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-13)
+    assert abs(float(ca) - float(cb)) < 1e-13
