@@ -10,7 +10,7 @@ rules they encode):
     otherwise, double-buffered input DMA;
   * :func:`dq_pallas_rows` — the SharpClaw 2D semidiscretization;
   * :func:`step3_pallas_xy` — 3D classic CTU with full rpt3/rptt3
-    corner transport, with or without aux.
+    corner transport; aux, capacity and fwave systems included.
 
 All bodies are shape-uniform "roll forms" of the XLA kernels —
 bit-identical results, pinned by the dual-backend oracles in
