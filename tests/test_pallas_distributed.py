@@ -103,3 +103,37 @@ def test_distributed_pallas_ineligible_falls_back_to_xla():
     assert d.overlap_halo is True
     q_ser = _run_3d(pyclaw.ClawSolver3D(riemann.euler_3D), n=(16, 24, 64))
     np.testing.assert_allclose(q_dist, q_ser, atol=1e-13)
+
+
+def test_distributed_pallas_generic_aux_capacity():
+    """The generic-AoS roll body (aux + capacity, vc advection) under
+    shard_map: the hardest 2D dataflow — per-cell dtdx and aux slabs
+    ride the halo exchange into the per-shard kernel."""
+    def run(solver, mx=16, my=512, tfinal=0.05):
+        domain = pyclaw.Domain([0.0, 0.0], [1.0, 1.0], [mx, my])
+        state = pyclaw.State(domain, 1, num_aux=3)
+        state.index_capa = 2
+        x, y = domain.grid.c_centers
+        state.q[0] = np.exp(-30.0 * ((x - 0.5) ** 2 + (y - 0.5) ** 2))
+        state.aux[0] = 1.0 + 0.3 * np.sin(2 * np.pi * y)
+        state.aux[1] = 0.5 + 0.3 * np.cos(2 * np.pi * x)
+        state.aux[2] = 1.0 + 0.2 * np.sin(2 * np.pi * x) \
+            * np.cos(2 * np.pi * y)
+        solver.all_bcs = pyclaw.BC.periodic
+        solver.aux_bc_lower = [pyclaw.BC.periodic] * 2
+        solver.aux_bc_upper = [pyclaw.BC.periodic] * 2
+        claw = pyclaw.Controller()
+        claw.solution = pyclaw.Solution(state, domain)
+        claw.solver = solver
+        claw.tfinal = tfinal
+        claw.num_output_times = 1
+        claw.output_format = None
+        claw.run()
+        return claw.solution.q.copy()
+
+    q_ser = run(pyclaw.ClawSolver2D(riemann.vc_advection_2D))
+    d = parallel.ClawSolver2D(riemann.vc_advection_2D)
+    d.backend = "pallas"
+    q_dist = run(d)
+    assert d.backend == "pallas"
+    np.testing.assert_allclose(q_dist, q_ser, atol=1e-13)
