@@ -241,6 +241,15 @@ class ClawSolver2D(ClawSolver):
                 if aligned is not None:
                     return aligned
                 return self._wrap_bc_kernel(kern_rows, state)
+            if self._is_distributed():
+                # the serial fallbacks below (apron/single-block
+                # kernels) build but violate Mosaic's (8,128) DMA
+                # alignment at first step on-chip; raise so the
+                # distributed mixin falls back to the XLA kernels
+                raise ValueError(
+                    f"backend='pallas': shard-local block ({nx},{ny}) "
+                    f"needs rows divisible by 8 and the last axis by "
+                    f"128 for the row kernel; using the XLA kernels")
             tm = 8 if nx % 8 == 0 else nx
             tn = 128 if ny % 128 == 0 else ny
             # genuine VMEM blocking needs (8,128)-divisible dims; a

@@ -45,9 +45,10 @@ class _DistributedMixin:
             #     kernels' tile constraints; pallas uses the blocking
             #     halo-exchange prefix instead;
             #   * when the LOCAL block is ineligible (lanes not a
-            #     128-multiple, rows not tileable, 3D capacity/fwave),
-            #     the dispatch raises and we fall back to the XLA
-            #     kernels with the original overlap setting.
+            #     128-multiple, rows not tileable by 8, no (x,y) tile
+            #     dividing a 3D block), the dispatch raises and we fall
+            #     back to the XLA kernels with the original overlap
+            #     setting.
             overlap_prev = getattr(self, "overlap_halo", True)
             if overlap_prev:
                 self.logger.info(
@@ -215,12 +216,8 @@ class _DistributedMixin:
         invariance); warn when the shard-local rows are too thin for
         tiling to actually engage, since the monolithic SoA family would
         then be faster (ADVICE r2 item 2)."""
-        if self.mesh is None:
-            self.mesh = make_mesh(self.num_dim)
         from ..classic.kernels import auto_tile
-        shape = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
-        n0 = shape.get(AXIS_NAMES[0], 1)
-        local_rows = state.patch.num_cells_global[0] // n0
+        local_rows = self._kernel_cells(state)[0]
         if eligible and auto_tile(local_rows, cap) is None:
             import logging
             logging.getLogger("pyclaw.solver").warning(

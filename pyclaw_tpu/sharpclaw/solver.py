@@ -244,6 +244,17 @@ class SharpClawSolver(Solver):
                                 cfl)
                     return dq_sa
             else:
+                if backend == "pallas" and self._is_distributed():
+                    # a silent fallthrough here would leave the mixin's
+                    # pallas setup in place (blocking halos, vma checks
+                    # off, backend label wrong) around a pure-XLA
+                    # kernel; raise so setup falls back cleanly
+                    raise ValueError(
+                        f"backend='pallas': shard-local block "
+                        f"({nx},{ny}) needs rows divisible by 8 and "
+                        f"the last axis by 128 for the dq row kernel; "
+                        f"using the XLA kernels")
+
                 def kern_soa(qbc, auxbc, dt, t):
                     return sc_soa.dq_2d_soa_tiled(
                         qbc, dt, dx2, dy2, rpn_soa, params, weno_order,

@@ -187,6 +187,16 @@ class Solver:
         shard_map, not the global grid."""
         return tuple(state.patch.num_cells_global)
 
+    def _is_distributed(self):
+        """True under the distributed overlay (it overrides
+        _wrap_bc_kernel).  The Pallas dispatch uses this to RAISE on
+        shard-local geometries its Mosaic-legal kernels cannot tile —
+        the serial fallbacks (apron/single-block kernels) would build,
+        but fail Mosaic's DMA-alignment rule at first step on the
+        tunneled TPU; raising instead triggers the distributed mixin's
+        clean setup-time fallback to the XLA kernels."""
+        return type(self)._wrap_bc_kernel is not Solver._wrap_bc_kernel
+
     def _wrap_bc_kernel(self, kern, state):
         """Combine ghost extension with an interior kernel
         ``kern(qbc, auxbc, dt, t) -> (interior_result, cfl)`` (the kernel

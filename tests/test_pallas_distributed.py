@@ -137,3 +137,46 @@ def test_distributed_pallas_generic_aux_capacity():
     q_dist = run(d)
     assert d.backend == "pallas"
     np.testing.assert_allclose(q_dist, q_ser, atol=1e-13)
+
+
+def test_classic_1d_distributed_pallas_invariance():
+    """1D: the single-block roll kernel per shard (the newly enabled
+    distributed 1D pallas path needs its own invariance pin)."""
+    def run1d(solver, nx=256, tfinal=0.1):
+        domain = pyclaw.Domain([0.0], [1.0], [nx])
+        state = pyclaw.State(domain, solver.rp.num_eqn)
+        state.problem_data.update(rho=1.0, bulk=1.0, zz=1.0, cc=1.0)
+        x = domain.grid.x.centers
+        state.q[0, :] = np.exp(-100.0 * (x - 0.5) ** 2)
+        state.q[1:, :] = 0.0
+        solver.all_bcs = pyclaw.BC.periodic
+        claw = pyclaw.Controller()
+        claw.solution = pyclaw.Solution(state, domain)
+        claw.solver = solver
+        claw.tfinal = tfinal
+        claw.num_output_times = 1
+        claw.output_format = None
+        claw.run()
+        return claw.solution.q.copy()
+
+    q_ser = run1d(pyclaw.ClawSolver1D(riemann.acoustics_1D))
+    d = parallel.ClawSolver1D(riemann.acoustics_1D)
+    d.backend = "pallas"
+    q_dist = run1d(d)
+    assert d.backend == "pallas"
+    np.testing.assert_allclose(q_dist, q_ser, atol=1e-13)
+
+
+def test_distributed_pallas_2d_ineligible_falls_back_to_xla():
+    """A shard-local 2D block whose lanes are not a 128-multiple must
+    fall back to the XLA kernels at setup (the serial apron/single-block
+    fallbacks would fail Mosaic's DMA alignment on-chip): global
+    (64, 480) on the (2,4) mesh -> local (32, 120)."""
+    q_ser = _run_2d(pyclaw.ClawSolver2D(riemann.acoustics_2D),
+                    mx=64, my=480)
+    d = parallel.ClawSolver2D(riemann.acoustics_2D)
+    d.backend = "pallas"
+    q_dist = _run_2d(d, mx=64, my=480)
+    assert d.backend == "xla"
+    assert d.overlap_halo is True
+    np.testing.assert_allclose(q_dist, q_ser, atol=1e-13)

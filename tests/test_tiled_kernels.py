@@ -395,3 +395,35 @@ def test_step3_pallas_xy_capa_matches_tiled():
                                     auxbc=aux, index_capa=0)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-13)
     assert abs(float(ca) - float(cb)) < 1e-13
+
+
+def test_step3_roll_fwave_bitexact():
+    """step3_roll with fwave=True (f-wave correction-flux form) must
+    reproduce step3 bit-for-bit; for constant advection the f-wave is
+    Z = u W, so the result must also equal the wave-form run."""
+    from pyclaw_tpu.classic import kernels
+
+    base = riemann.advection_3D
+
+    def rp_fwave(ixy, q_l, q_r, aux_l, aux_r, params):
+        wave, s, amdq, apdq = base.rp(ixy, q_l, q_r, aux_l, aux_r,
+                                      params)
+        return wave * jnp.expand_dims(s, 0), s, amdq, apdq
+
+    rng = np.random.default_rng(33)
+    n = 16
+    q = jnp.asarray(rng.random((1, n, n, n)))
+    params = {"u": 1.0, "v": 0.5, "w": -0.7}
+    for tw in (0, 2):
+        a, ca = kernels.step3(q, None, 1e-3, 0.1, 0.1, 0.1, rp_fwave,
+                              base.rpt, base.rptt, params, (4,), 2,
+                              True, -1, 2, transverse_waves=tw)
+        b, cb = kernels.step3_roll(q, 1e-3, 0.1, 0.1, 0.1, rp_fwave,
+                                   base.rpt, base.rptt, params, (4,), 2,
+                                   2, transverse_waves=tw, fwave=True)
+        assert bool(jnp.all(a == b)) and float(ca) == float(cb), tw
+        w, cw = kernels.step3(q, None, 1e-3, 0.1, 0.1, 0.1, base.rp,
+                              base.rpt, base.rptt, params, (4,), 2,
+                              False, -1, 2, transverse_waves=tw)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(w),
+                                   atol=1e-14)
